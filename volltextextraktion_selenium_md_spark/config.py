@@ -1,0 +1,55 @@
+"""Engine configuration.
+
+Mirrors the reference's three-layer default resolution
+(per-request > .env > hardcoded; reference ``app/config.py:28-76``)
+as a single frozen dataclass broadcast to executors. Values that shape
+crawl semantics keep the reference's defaults/limits
+(``app/schemas.py:116-169``, ``app/main.py:25-91``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # BFS shape
+    max_depth: int = 2            # admit children with depth <= max_depth
+    max_rounds: int = 16          # hard stop; deferred/retry rows extend rounds
+
+    # politeness (reference has a process-global semaphore of 8
+    # [app/main.py:27-28]; the engine generalizes to per-host budgets)
+    host_budget_per_round: int = 20
+    default_crawl_delay_ms: int = 100
+
+    # retry semantics (reference: for attempt in range(retries+1),
+    # backoff min(2**attempt, 5)s [app/http_fetcher.py:64-83])
+    retries: int = 1
+    retryable_statuses: tuple[int, ...] = (500, 502, 503, 504)
+
+    # payload caps (reference defaults: max_bytes 10 MiB within
+    # [1 KiB, 100 MiB], app/schemas.py:156-169)
+    max_bytes: int = 10 * 1024 * 1024
+
+    # strategy thresholds (reference app/preflight.py:119-124 and the
+    # looser second-chance cut at app/main.py:343-349)
+    http_only_text_len: int = 800
+    second_chance_text_len: int = 700
+    js_light_thin_text_len: int = 500
+
+    # fetch-stage cost model, ms/page — midpoints of the reference's
+    # documented latency ranges (README.md:223,362,363; BASELINE.md)
+    cost_ms: dict[str, int] = field(default_factory=lambda: {
+        "HTTP_ONLY": 30,
+        "HTTP_THEN_JS": 60,
+        "JS_LIGHT": 120,
+        "JS_LIGHT_CONSENT": 150,
+        "PDF": 40,
+        "RSS": 20,
+        "YOUTUBE": 25,
+        "BLOCKED": 10,
+    })
+
+
+DEFAULT_CONFIG = CrawlConfig()

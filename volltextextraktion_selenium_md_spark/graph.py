@@ -1,0 +1,188 @@
+"""Deterministic synthetic web graph derived from the driver testdata.
+
+The reference fetches live URLs (``app/http_fetcher.py:24-87``); in this
+sandbox the fetch stage is a *lookup join* against a synthetic `pages`
+table minted deterministically from the TPC-H-ish driver tables
+(FIXTURES.md §7), so the DuckDB oracle can reproduce every engine step
+on the very same parquet files.
+
+Every view below is defined ONCE as SQL text in the dialect subset that
+Spark SQL and DuckDB share (verified constructs: ``||`` with implicit
+cast, CAST(x AS STRING), CASE WHEN, %, split_part, regexp_replace,
+row_number() OVER, scalar subqueries). The Spark engine registers them
+as temp views; oracle_sql() composes the identical text into WITH
+clauses for DuckDB.
+
+Graph shape:
+- pages     <- orders:    one page per order; Zipf-ish host skew (every
+                          3rd page on host0 -> hot-host salting tests);
+                          status mix 200/301/404/503; content-type mix;
+                          preflight feature bits from key modulos.
+- links     <- lineitem:  src page = l_orderkey, doc_pos = l_linenumber,
+                          dst minted by a mixing formula mod |orders|;
+                          raw hrefs carry canonicalization noise
+                          (#fragment, trailing /, UPPERCASE scheme+host).
+- seeds     <- customer:  every 15th customer; raw-url noise variants.
+- robots    <- nation:    hosts 0..24 get rules; every 5th host gets a
+                          '/page/1' disallow prefix (blocks host0 = hot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+BASE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# ---------------------------------------------------------------------------
+# shared-dialect SQL view bodies (name -> SELECT text). Order matters:
+# later views reference earlier ones.
+# ---------------------------------------------------------------------------
+
+GRAPH_VIEWS: dict[str, str] = {}
+
+GRAPH_VIEWS["g_pages_base"] = """
+SELECT
+  o_orderkey AS page_id,
+  CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE o_custkey % 50 END AS host_id
+FROM orders
+"""
+
+GRAPH_VIEWS["g_pages"] = """
+SELECT
+  b.page_id,
+  'host' || CAST(b.host_id AS STRING) || '.example.com' AS host,
+  'https://host' || CAST(b.host_id AS STRING) || '.example.com/page/'
+      || CAST(b.page_id AS STRING) AS url,
+  CASE WHEN b.page_id % 20 = 19 THEN 404
+       WHEN b.page_id % 20 = 18 THEN 503
+       WHEN b.page_id % 20 = 17 THEN 301
+       ELSE 200 END AS status,
+  CASE WHEN b.page_id % 20 = 17
+       THEN 'https://host' || CAST(b.host_id AS STRING) || '.example.com/page/'
+            || CAST(b.page_id AS STRING) || '/'
+       ELSE 'https://host' || CAST(b.host_id AS STRING) || '.example.com/page/'
+            || CAST(b.page_id AS STRING) END AS final_url,
+  CASE WHEN b.page_id % 10 = 6 THEN 'application/pdf'
+       WHEN b.page_id % 10 = 7 THEN 'application/rss+xml; charset=utf-8'
+       WHEN b.page_id % 10 = 8 THEN 'image/jpeg'
+       WHEN b.page_id % 10 = 9 THEN 'application/octet-stream'
+       ELSE 'text/html; charset=utf-8' END AS content_type,
+  CAST((b.page_id * 37) % 1600 AS INT) AS text_len,
+  b.page_id % 4 <> 0 AS has_main,
+  b.page_id % 7 = 0 AS spa_mark,
+  b.page_id % 11 = 0 AS js_required,
+  b.page_id % 13 = 0 AS consent,
+  b.page_id % 17 = 0 AS bot_wall,
+  b.page_id % 23 = 0 AS rss_link,
+  b.page_id % 29 = 0 AS youtube
+FROM g_pages_base b
+"""
+
+# raw hrefs: noise classes 0..3 keyed on dst page id; every class
+# canonicalizes back to the page url (SURVEY §2.3 F4)
+GRAPH_VIEWS["g_links"] = """
+SELECT
+  k.src_page_id,
+  k.doc_pos,
+  k.dst_page_id,
+  p.url AS dst_url,
+  p.host AS dst_host,
+  CASE WHEN k.doc_pos = 7 THEN 'Home'
+       ELSE 'Link ' || CAST(k.l_partkey AS STRING) END AS text,
+  CASE k.dst_page_id % 4
+    WHEN 0 THEN p.url || '#frag'
+    WHEN 1 THEN p.url || '/'
+    WHEN 2 THEN upper(split_part(p.url, '/page/', 1)) || '/page/'
+                || split_part(p.url, '/page/', 2)
+    ELSE p.url END AS raw_url
+FROM (
+  SELECT l_orderkey AS src_page_id,
+         CAST(l_linenumber AS INT) AS doc_pos,
+         l_partkey,
+         (l_orderkey * 131 + l_partkey * 31 + l_linenumber * 7)
+             % (SELECT count(*) FROM orders) AS dst_page_id
+  FROM lineitem
+) k
+JOIN g_pages p ON p.page_id = k.dst_page_id
+"""
+
+GRAPH_VIEWS["g_seeds"] = """
+SELECT
+  s.seed_idx,
+  s.priority,
+  s.dst_page_id,
+  CASE s.c_custkey % 3
+    WHEN 0 THEN p.url
+    WHEN 1 THEN p.url || '/'
+    ELSE p.url || '#top' END AS raw_url,
+  p.url AS url,
+  p.host AS host
+FROM (
+  SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS seed_idx,
+         CAST(c_custkey % 3 AS INT) AS priority,
+         (c_custkey * 17) % (SELECT count(*) FROM orders) AS dst_page_id,
+         c_custkey
+  FROM customer
+  WHERE c_custkey % 15 = 0
+) s
+JOIN g_pages p ON p.page_id = s.dst_page_id
+"""
+
+GRAPH_VIEWS["g_robots"] = """
+SELECT
+  'host' || CAST(n_nationkey AS STRING) || '.example.com' AS host,
+  CASE WHEN n_nationkey % 5 = 0 THEN '/page/1' ELSE NULL END AS disallow_prefix,
+  CAST(100 * (1 + n_nationkey % 3) AS INT) AS crawl_delay_ms
+FROM nation
+"""
+
+# restricted-form canonicalization usable in BOTH dialects for graph-minted
+# URLs only (the general UDF lives in functions/urls.py): strip #fragment,
+# strip trailing slashes, lowercase scheme+host. Graph URLs carry no query.
+def canon_sql(col: str) -> str:
+    stripped = f"regexp_replace(split_part({col}, '#', 1), '/+$', '')"
+    return (
+        f"lower(split_part({stripped}, '/page/', 1)) || '/page/' || "
+        f"split_part({stripped}, '/page/', 2)"
+    )
+
+
+def graph_with_clause(extra: dict[str, str] | None = None) -> str:
+    """Compose the graph views into a `WITH a AS (...), b AS (...)` prefix."""
+    views = dict(GRAPH_VIEWS)
+    if extra:
+        views.update(extra)
+    parts = [f"{name} AS ({body})" for name, body in views.items()]
+    return "WITH " + ",\n".join(parts)
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver parquet tables as temp views (idempotent)."""
+    for name in BASE_TABLES:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def register_graph_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the synthetic graph as temp views on top of the testdata."""
+    register_testdata(spark, sf_dir)
+    for name, body in GRAPH_VIEWS.items():
+        spark.sql(body).createOrReplaceTempView(name)
+
+
+def pages(spark: SparkSession) -> DataFrame:
+    return spark.table("g_pages")
+
+
+def links(spark: SparkSession) -> DataFrame:
+    return spark.table("g_links")
+
+
+def seeds(spark: SparkSession) -> DataFrame:
+    return spark.table("g_seeds")
+
+
+def robots(spark: SparkSession) -> DataFrame:
+    return spark.table("g_robots")
