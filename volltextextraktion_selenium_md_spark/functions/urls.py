@@ -1,0 +1,117 @@
+"""URL canonicalization / host helpers.
+
+The reference compares URLs only loosely — ``rstrip('/')`` equality for
+the redirect flag (``app/main.py:473``) and hostname equality for
+internal/external (``app/utils.py:70-77``). The north rule upgrades
+this to a real canonical form: lowercase scheme+host, strip fragment,
+sort query params, drop default ports, strip trailing slashes, plus a
+SURT form for prefix-ordered storage.
+
+Canonicalization and urljoin run as Arrow-vectorized pandas UDFs (no
+JVM equivalent exists); everything else is a native Column expression
+so it stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def canonicalize_one(url: str | None) -> str | None:
+    """RFC3986-style canonical form (pure-Python scalar; shared by the
+    pandas UDF and the golden replay crawler so both sides agree)."""
+    if url is None:
+        return None
+    try:
+        parts = urlsplit(url.strip())
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower()
+        port = parts.port
+        netloc = host
+        if port is not None and _DEFAULT_PORTS.get(scheme) != port:
+            netloc = f"{host}:{port}"
+        path = parts.path.rstrip("/")
+        query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+        return urlunsplit((scheme, netloc, path, query, ""))
+    except (ValueError, AttributeError):
+        return url
+
+
+def surt_one(url: str | None) -> str | None:
+    """SURT (Sort-friendly URI Reordering Transform) of the canonical
+    form: reversed host labels + path, e.g.
+    ``https://host0.example.com/page/1`` -> ``com,example,host0)/page/1``."""
+    if url is None:
+        return None
+    canon = canonicalize_one(url)
+    try:
+        parts = urlsplit(canon)
+        host = ",".join(reversed((parts.hostname or "").split(".")))
+        tail = parts.path or ""
+        if parts.query:
+            tail += "?" + parts.query
+        return f"{host}){tail}"
+    except (ValueError, AttributeError):
+        return canon
+
+
+@pandas_udf(StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize_one)
+
+
+@pandas_udf(StringType())
+def surt_url(urls: pd.Series) -> pd.Series:
+    return urls.map(surt_one)
+
+
+@pandas_udf(StringType())
+def url_join(base: pd.Series, href: pd.Series) -> pd.Series:
+    """Absolutize hrefs against their page URL (reference
+    ``app/utils.py:46``: ``urljoin(base_url, href)`` per anchor)."""
+    return pd.Series(
+        [urljoin(b, h) if (b and h) else h for b, h in zip(base, href)]
+    )
+
+
+def url_host(col: Column | str) -> Column:
+    """Hostname of a URL, lowercased (reference uses
+    ``urlparse(...).hostname``, which lowercases)."""
+    return F.lower(F.parse_url(F.col(col) if isinstance(col, str) else col, F.lit("HOST")))
+
+
+def url_path(col: Column | str) -> Column:
+    return F.parse_url(F.col(col) if isinstance(col, str) else col, F.lit("PATH"))
+
+
+def is_internal(link: Column, base: Column) -> Column:
+    """Hostname equality (reference ``app/utils.py:70-77``)."""
+    return url_host(link) == url_host(base)
+
+
+def redirect_flag(requested: Column, final: Column) -> Column:
+    """``final_url.rstrip('/') != requested_url.rstrip('/')``
+    (reference ``app/main.py:473``)."""
+    return (
+        F.regexp_replace(final, r"/+$", "") != F.regexp_replace(requested, r"/+$", "")
+    )
+
+
+def url_hash(col: Column | str) -> Column:
+    """xxhash64 of the canonical URL — seen-set / bloom key.
+
+    Computed JVM-side (vectorized, no Python); pair with
+    ``url_hash2`` for the bloom filter's double-hashing scheme."""
+    return F.xxhash64(F.col(col) if isinstance(col, str) else col)
+
+
+def url_hash2(col: Column | str) -> Column:
+    return F.xxhash64(F.col(col) if isinstance(col, str) else col, F.lit(0x9E3779B9))

@@ -99,8 +99,16 @@ SELECT
                 || split_part(p.url, '/page/', 2)
     ELSE p.url END AS raw_url
 FROM (
+  -- doc_pos must be a total order within the page ((l_orderkey,
+  -- l_linenumber) is NOT unique in the synthetic lineitem); full-row
+  -- ORDER BY is deterministic because full rows are distinct
   SELECT l_orderkey AS src_page_id,
-         CAST(l_linenumber AS INT) AS doc_pos,
+         CAST(row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                    l_extendedprice, l_discount, l_tax, l_returnflag,
+                    l_linestatus, l_shipdate
+         ) AS INT) AS doc_pos,
          l_partkey,
          (l_orderkey * 131 + l_partkey * 31 + l_linenumber * 7)
              % (SELECT count(*) FROM orders) AS dst_page_id

@@ -1,0 +1,260 @@
+"""Deduplication operators.
+
+- `first_seen`: the crawl-frontier dedup (reference ``app/utils.py:48-55``
+  keeps the FIRST occurrence in document order; generalized here to any
+  deterministic order key).
+- training-data dedup family over the `documents` table: exact
+  (fingerprint groupBy), n-gram Jaccard, MinHash+LSH, SimHash — each a
+  pure DataFrame composition (explode/groupBy/join), no Python UDFs, so
+  they scale to a 100 TB corpus: the only shuffles are the
+  shingle-groupBy and the candidate-pair join, both on well-distributed
+  hash keys.
+
+Hash parity with the DuckDB oracle: shingle/token hashes are
+``conv(substr(md5(x),1,15),16,10)`` — 60 bits of md5, identical in both
+engines (DuckDB spells it ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from volltextextraktion_selenium_md_spark.functions.text import fingerprint
+
+# ---------------------------------------------------------------------------
+
+
+def first_seen(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """Keep the first row per key under the given deterministic order."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint; keeps min doc_id
+    per group and reports group size."""
+    return (
+        documents.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# --- shingling --------------------------------------------------------------
+
+def md5_hash60(col: Column) -> Column:
+    """60-bit integer hash from md5 hex — oracle-reproducible."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Word n-gram shingle set per document: (doc_id, shingle) distinct.
+
+    Built natively: split -> slide via transform over index array ->
+    explode. No Python."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        documents.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
+
+    intersection via shingle self-join (shuffle key = shingle — high
+    cardinality, well distributed); union = |A|+|B|-|A∩B|.
+    """
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+MINHASH_PRIME = 2305843009213693951  # 2^61 - 1 (Mersenne)
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic permutation coefficients (a odd, b) derived from a
+    fixed LCG — reproducible in SQL as literals."""
+    params = []
+    state = 88172645463325252
+    for _ in range(num_hashes * 2):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        params.append(state)
+    return [
+        ((params[2 * i] | 1) % MINHASH_PRIME, params[2 * i + 1] % MINHASH_PRIME)
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{H-1}): min over shingles of (a*h+b) mod p.
+
+    One groupBy computes all H minima (map-side partial agg -> tiny
+    shuffle: H longs per doc)."""
+    sh = shingles(documents, n).withColumn("h", md5_hash60(F.col("shingle")))
+    aggs = [
+        F.min((F.col("h") % MINHASH_PRIME * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding: signature split into `bands` bands of r rows; docs
+    sharing any band bucket become candidates; candidates verified by
+    estimated Jaccard = fraction of equal minhash components.
+
+    Scale path: the band-bucket groupBy is the only wide op; bucket
+    keys are md5-mixed so they distribute; giant buckets (degenerate
+    near-dup clusters) are bounded by pairing only adjacent doc_ids per
+    bucket window in `minhash_lsh_clusters` (connected via
+    transitivity) rather than quadratic pair explosion."""
+    r = num_hashes // bands
+    sig = minhash_signatures(documents, n, num_hashes).cache()
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for df in band_rows[1:]:
+        banded = banded.unionByName(df)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    eq_frac = sum(
+        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(sig.alias("a"), cand.doc_a == F.col("a.doc_id"))
+        .join(sig.alias("b"), cand.doc_b == F.col("b.doc_id"))
+        .withColumn("est_jaccard", F.round(eq_frac, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32  # 32-bit simhash keeps the bit-assembly in signed-long range
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """Per-doc 32-bit SimHash over whitespace tokens: bit b of the
+    fingerprint = sign of sum over tokens of (+1 if token-hash bit b
+    else -1). One explode + one groupBy with 32 conditional sums —
+    all map-side combinable."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).withColumn("h", md5_hash60(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    fp = sum(
+        F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= k, found via the
+    standard band trick: split the 32-bit fingerprint into (k+1) bands;
+    any pair within distance k shares at least one exact band. Avoids
+    the quadratic self-join at scale."""
+    bands = max_hamming + 1
+    width = SIMHASH_BITS // bands
+    sh = simhash(documents).cache()
+    banded = None
+    for b in range(bands):
+        piece = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bucket"),
+        )
+        banded = piece if banded is None else banded.unionByName(piece)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

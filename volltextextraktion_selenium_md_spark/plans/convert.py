@@ -1,0 +1,347 @@
+"""Convert stage: bytes -> Markdown, one Arrow-batched mapInPandas pass.
+
+Re-expresses the reference's conversion chain (``bytes_to_markdown``,
+``app/converter.py:117-342``) for the distributed engine:
+
+- payload bytes are minted deterministically per page (the sandbox has
+  no network; FIXTURES.md §2 'bytes ... embed features for P5'),
+- the chain itself is faithful in structure:
+    P8  mislabeled-PDF guard        (converter.py:138-142)
+    P9  octet-stream bypass         (converter.py:143-150)
+    C2  noscript/js-hint pre-clean  (converter.py:163-206)
+    C3  embedded-JSON (KMap) probe  (converter.py:416-641, gate :195-204)
+    C1  converter chain main->full->strip with error isolation
+        (converter.py:208-246; bs4/trafilatura/markitdown replaced by a
+        stdlib-HTMLParser extractor with the same 3-tier fallback)
+    C6  media policy               (converter.py:155-158, 253-282)
+    C8  circuit breaker            (converter.py:32-36, 285-334;
+        partition-local here — documented divergence from the
+        reference's process-global state)
+    C9  error containment template (app/main.py:408-420)
+    C4/C5 math + table polish      (converter.py:45-114)
+- image rows additionally decode through the codec and emit the
+  Iceberg payload-table columns (image_id/bytes/w/h/fmt/caption/phash,
+  BASELINE.json input_hint).
+
+No per-row Python outside this stage; inside it, work is vectorized
+where numpy applies (image decode) and plain string ops otherwise —
+all within one Arrow batch pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.types as T
+
+from volltextextraktion_selenium_md_spark import codec
+from volltextextraktion_selenium_md_spark.config import CrawlConfig
+from volltextextraktion_selenium_md_spark.functions.text import enhance_table_structure_py
+
+# ---------------------------------------------------------------------------
+# deterministic payload minting (replaces the network body)
+# ---------------------------------------------------------------------------
+
+_WORDS = [
+    "data", "graph", "spark", "crawl", "frontier", "page", "link", "queue",
+    "host", "fetch", "parse", "markdown", "image", "caption", "index", "batch",
+]
+
+
+def _body_text(page_id: int, text_len: int) -> str:
+    words = []
+    total = 0
+    i = 0
+    while total < text_len:
+        w = _WORDS[(page_id + i * 7) % len(_WORDS)]
+        words.append(w)
+        total += len(w) + 1
+        i += 1
+    return " ".join(words)[:text_len]
+
+
+def mint_payload(row: dict) -> bytes:
+    """Deterministic response body for a page row (feature-faithful:
+    the HTML embeds exactly the markers the preflight features claim)."""
+    pid = int(row["page_id"])
+    ctype = row["content_type"]
+    if ctype.startswith("image/"):
+        return codec.encode(codec.synth_image(pid), "jpeg")
+    if ctype.startswith("application/pdf"):
+        if pid % 20 == 16:  # mislabeled-PDF guard case (P8)
+            return b"<html><body>not actually a pdf</body></html>"
+        return b"%PDF-1.4 " + _body_text(pid, 200).encode()
+    if ctype.startswith("application/octet-stream"):
+        return bytes([pid % 256]) * 64
+    if ctype.startswith("application/rss"):
+        items = "".join(
+            f"<item><title>entry {pid}-{i}</title></item>" for i in range(3)
+        )
+        return f"<rss><channel><title>feed {pid}</title>{items}</channel></rss>".encode()
+
+    # text/html
+    parts = ["<html><head><title>page %d</title></head><body>" % pid]
+    if row.get("spa_mark"):
+        parts.append("<script>window.__NEXT_DATA__={}</script>")
+    if row.get("js_required"):
+        parts.append("<noscript><div>Please enable JavaScript to view.</div></noscript>")
+    if row.get("consent"):
+        parts.append("<div class='consent'>cookie consent: accept</div>")
+    if pid % 31 == 0:  # KMap embedded-topic page (C3)
+        topic = {"description": f"Topic {pid} description " + _body_text(pid, 900)}
+        parts.append(
+            f"<script id='embedded-topic' type='application/json'>{json.dumps(topic)}</script>"
+        )
+    body = _body_text(pid, int(row["text_len"]))
+    if row.get("has_main"):
+        parts.append(f"<main><h1>Page {pid}</h1><p>{body}</p></main>")
+    else:
+        parts.append(f"<div><p>{body}</p></div>")
+    if pid % 37 == 0:  # table polish case (C5)
+        parts.append("<pre>| a | b |\n| 1 | 2 |</pre>")
+    if pid % 41 == 0:  # math polish case (C4)
+        parts.append("<p>E = mc2 and f(x) applies</p>")
+    parts.append("</body></html>")
+    return "".join(parts).encode()
+
+
+# ---------------------------------------------------------------------------
+# stdlib HTML -> text extraction (bs4/trafilatura/markitdown stand-ins)
+# ---------------------------------------------------------------------------
+
+class _TextExtract(HTMLParser):
+    """Tag-stripping text extractor; optionally restricted to <main>
+    (the trafilatura-like 'content only' tier)."""
+
+    _SKIP = {"script", "style", "noscript"}
+
+    def __init__(self, main_only: bool = False):
+        super().__init__()
+        self.main_only = main_only
+        self._in_main = 0
+        self._skip = 0
+        self.chunks: list[str] = []
+        self.headings: list[tuple[int, str]] = []
+        self._heading: int | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip += 1
+        if tag == "main":
+            self._in_main += 1
+        if tag in ("h1", "h2", "h3"):
+            self._heading = int(tag[1])
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip:
+            self._skip -= 1
+        if tag == "main" and self._in_main:
+            self._in_main -= 1
+        if tag in ("h1", "h2", "h3"):
+            self._heading = None
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        if self.main_only and not self._in_main:
+            return
+        txt = data.strip()
+        if not txt:
+            return
+        if self._heading:
+            self.chunks.append("#" * self._heading + " " + txt)
+        else:
+            self.chunks.append(txt)
+
+
+_NOSCRIPT_RE = re.compile(r"<noscript\b.*?</noscript>", re.S | re.I)
+_JS_HINT_RE = re.compile(
+    r"<[^>]+(?:id|class)=['\"]?[^'\">]*(?:no-?js|js-disabled|enable-js|javascript)[^'\">]*['\"]?[^>]*>.{0,200}?</[^>]+>",
+    re.S | re.I,
+)
+_KMAP_RE = re.compile(
+    r"<script[^>]*id=['\"]embedded-topic['\"][^>]*>(.*?)</script>", re.S | re.I
+)
+
+
+def _preclean(html: str) -> str:
+    """C2: drop <noscript> and short enable-javascript containers
+    (converter.py:163-206)."""
+    html = _NOSCRIPT_RE.sub("", html)
+    return _JS_HINT_RE.sub("", html)
+
+
+def _kmap_probe(html: str) -> str | None:
+    """C3: embedded-topic JSON; result under 800 chars is rejected and
+    the chain falls through (converter.py gate :195-204)."""
+    m = _KMAP_RE.search(html)
+    if not m:
+        return None
+    try:
+        obj = json.loads(m.group(1))
+    except json.JSONDecodeError:
+        return None
+    desc = obj.get("description") or obj.get("articleBody") or ""
+    return desc if len(desc) >= 800 else None
+
+
+def _extract(html: str, main_only: bool) -> str:
+    p = _TextExtract(main_only=main_only)
+    p.feed(html)
+    return "\n\n".join(p.chunks)
+
+
+_MATH_EXPR_RE = re.compile(r"\b([a-zA-Z]\([^)]*\)|[a-zA-Z][₀-₉⁰-⁹]*\s*[=+\-*/]\s*[^\s]+)")
+_FORMULA_RE = re.compile(r"([a-zA-Z][₀-₉⁰-⁹]*\s*=\s*[^\n]+)")
+
+
+def _polish(text: str) -> str:
+    """C4 + C5 (converter.py:76-84, 87-114)."""
+    text = _MATH_EXPR_RE.sub(r"`\1`", text)
+    text = _FORMULA_RE.sub(r"**\1**", text)
+    return enhance_table_structure_py(text)
+
+
+_ERROR_TEMPLATE = (
+    "# Content Conversion Failed\n\nThe fetched content could not be "
+    "converted to Markdown.\n\nError: {err}"
+)
+_OCTET_TEMPLATE = (
+    "# Binary Content\n\nContent-Type: application/octet-stream "
+    "({n} bytes) — not converted."
+)
+
+
+class _Breaker:
+    """C8 circuit breaker: >=5 unexpected failures within one partition
+    disables the heavy converter tier for the rest of the partition
+    (reference is process-global over a 60s window, converter.py:32-36)."""
+
+    def __init__(self, limit: int = 5):
+        self.failures = 0
+        self.limit = limit
+
+    @property
+    def open(self) -> bool:
+        return self.failures >= self.limit
+
+    def record(self) -> None:
+        self.failures += 1
+
+
+def convert_bytes(
+    pid: int, ctype: str, payload: bytes, breaker: _Breaker, max_bytes: int
+) -> tuple[str, str, bool]:
+    """Returns (markdown, converter_used, truncated). Never raises (C9)."""
+    truncated = len(payload) > max_bytes
+    if truncated:
+        payload = payload[:max_bytes]  # P10
+    base_ctype = ctype.split(";")[0].strip().lower()
+    try:
+        if base_ctype == "application/pdf" and not payload.startswith(b"%PDF"):
+            base_ctype = "text/html"  # P8
+        if base_ctype == "application/octet-stream":
+            return _OCTET_TEMPLATE.format(n=len(payload)), "bypass", truncated  # P9
+        if base_ctype.startswith("image/"):
+            arr = codec.decode(payload)
+            cap = codec.synth_caption(pid)
+            md = f"![{cap}]({pid})\n\n{arr.shape[1]}x{arr.shape[0]} {base_ctype}"
+            return md, "image", truncated
+        if base_ctype == "application/pdf":
+            text = payload[9:].decode("utf-8", "replace")
+            return _polish("# PDF Document\n\n" + text), "pdf", truncated
+        if base_ctype.startswith("application/rss"):
+            titles = re.findall(r"<title>(.*?)</title>", payload.decode("utf-8", "replace"))
+            return "\n".join(f"- {t}" for t in titles), "rss", truncated
+
+        html = _preclean(payload.decode("utf-8", "replace"))
+        kmap = _kmap_probe(html)
+        if kmap is not None:
+            return _polish(kmap), "kmap", truncated
+        # three-tier fallback chain (C1): content-only -> full text ->
+        # raw strip; each tier isolated (converter.py:208-246)
+        if not breaker.open:
+            try:
+                main = _extract(html, main_only=True)
+                if len(main) >= 80:
+                    return _polish(main), "main", truncated
+            except Exception:
+                breaker.record()
+        try:
+            full = _extract(html, main_only=False)
+            if full:
+                return _polish(full), "full", truncated
+        except Exception:
+            breaker.record()
+        stripped = re.sub(r"<[^>]+>", " ", html)
+        return _polish(re.sub(r"\s+", " ", stripped).strip()), "strip", truncated
+    except Exception as exc:  # C9: containment — never fail the row
+        return _ERROR_TEMPLATE.format(err=type(exc).__name__), "error", truncated
+
+
+# ---------------------------------------------------------------------------
+# the Spark stage
+# ---------------------------------------------------------------------------
+
+CONVERT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("page_id", T.LongType(), False),
+    T.StructField("markdown", T.StringType(), False),
+    T.StructField("markdown_length", T.IntegerType(), False),
+    T.StructField("converter_used", T.StringType(), False),
+    T.StructField("truncated", T.BooleanType(), False),
+    T.StructField("image_id", T.StringType(), True),
+    T.StructField("image_bytes", T.BinaryType(), True),
+    T.StructField("w", T.IntegerType(), True),
+    T.StructField("h", T.IntegerType(), True),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("caption", T.StringType(), True),
+    T.StructField("phash", T.LongType(), True),
+])
+
+_FEATURE_COLS = [
+    "url", "page_id", "content_type", "text_len", "has_main",
+    "spa_mark", "js_required", "consent",
+]
+
+
+def convert_stage(fetched: DataFrame, cfg: CrawlConfig | None = None) -> DataFrame:
+    """mapInPandas convert pass over fetched rows (outcome='fetched')."""
+    cfg = cfg or CrawlConfig()
+    max_bytes = cfg.max_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        breaker = _Breaker()
+        for pdf in batches:
+            out = {k: [] for k in CONVERT_SCHEMA.fieldNames()}
+            for row in pdf.to_dict("records"):
+                pid = int(row["page_id"])
+                ctype = row["content_type"]
+                payload = mint_payload(row)
+                md, conv, trunc = convert_bytes(pid, ctype, payload, breaker, max_bytes)
+                out["url"].append(row["url"])
+                out["page_id"].append(pid)
+                out["markdown"].append(md)
+                out["markdown_length"].append(len(md))
+                out["converter_used"].append(conv)
+                out["truncated"].append(trunc)
+                if ctype.startswith("image/"):
+                    p = codec.make_payload_row(pid)
+                    out["image_id"].append(p["image_id"])
+                    out["image_bytes"].append(p["bytes"])
+                    out["w"].append(p["w"])
+                    out["h"].append(p["h"])
+                    out["fmt"].append(p["fmt"])
+                    out["caption"].append(p["caption"])
+                    out["phash"].append(p["phash"])
+                else:
+                    for k in ("image_id", "image_bytes", "w", "h", "fmt", "caption", "phash"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return fetched.select(*_FEATURE_COLS).mapInPandas(run, schema=CONVERT_SCHEMA)

@@ -1,0 +1,272 @@
+"""The crawl frontier round loop — the core of the engine.
+
+The reference is one-URL-per-request (``POST /crawl``); callers re-POST
+the returned ``links`` to crawl (``app/main.py:424-430``). This module
+makes that implied loop explicit and distributed while reproducing its
+ordering semantics exactly (SURVEY §2.3):
+
+round k:  frontier --robots--> allowed | blocked
+          allowed --budget rank cut--> admitted | deferred
+          admitted --slots--> --fetch join--> outcomes
+          fetched html --links join--> children --first-seen dedup-->
+          --seen anti-join--> unseen
+          frontier(k+1) = deferred ∪ retries(attempt+1) ∪ unseen
+
+Determinism: every cut and dedup orders by (depth, lineage) where
+lineage is the recursive crawl-order key (seed: zero-padded seed_idx;
+child: parent_lineage + '.' + zero-padded doc_pos). Lexicographic
+(round, depth, lineage) therefore equals the reference's implied
+FIFO-seeds / document-order-links BFS, and the single-threaded golden
+replay (replay.py) must — and does, see tests — match row for row.
+
+Scale notes (10^10-URL design point):
+- per-round state (frontier, seen) is hash-partitioned on the url;
+  `localCheckpoint` truncates the iterative lineage each round so plans
+  don't grow with round count (on a cluster: checkpoint to the
+  lakehouse, see sources/lakehouse.py).
+- seen-set membership = exact left_anti join (linear, co-partitioned)
+  with a distributed-built Bloom prefilter routing definitely-new rows
+  around the shuffle (operators/seen.py).
+- hot hosts are salted across partitions before the fetch stage
+  (operators/politeness.py:salted_repartition); AQE skew-join covers
+  the join side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from volltextextraktion_selenium_md_spark import graph
+from volltextextraktion_selenium_md_spark.config import CrawlConfig
+from volltextextraktion_selenium_md_spark.functions.urls import (
+    canonicalize_url,
+    url_host,
+)
+from volltextextraktion_selenium_md_spark.operators import seen as seen_ops
+from volltextextraktion_selenium_md_spark.operators.dedup import first_seen
+from volltextextraktion_selenium_md_spark.operators.politeness import (
+    host_budget_split,
+    robots_split,
+    salted_repartition,
+    schedule_slots,
+)
+from volltextextraktion_selenium_md_spark.plans.convert import convert_stage
+from volltextextraktion_selenium_md_spark.plans.fetch import simulated_fetch
+
+FRONTIER_COLS = ["url", "host", "depth", "lineage", "priority", "attempt", "round_added"]
+
+LOG_COLS = [
+    "round", "url", "host", "depth", "lineage", "attempt", "outcome",
+    "page_id", "status_code", "final_url", "redirected", "content_type",
+    "strategy", "elapsed_ms",
+]
+
+
+@dataclass
+class CrawlResult:
+    fetch_log: DataFrame          # every decision, with global `ordinal`
+    seen: DataFrame               # final seen set (url)
+    metrics: DataFrame            # per (round, outcome) counts
+    payloads: DataFrame | None    # image+caption rows (input_hint shape)
+    rounds: int = 0
+    round_counts: list[dict] = field(default_factory=list)
+
+
+def _pad6(col):
+    return F.lpad(col.cast("string"), 6, "0")
+
+
+def _pad2(col):
+    return F.lpad(col.cast("string"), 2, "0")
+
+
+def init_frontier(spark: SparkSession) -> DataFrame:
+    """Seed rows -> canonical frontier (depth 0), first-seen deduped in
+    seed order (reference's per-page order-preserving dedup semantics,
+    app/utils.py:48-55, applied to the seed list)."""
+    seeds = graph.seeds(spark).select(
+        canonicalize_url(F.col("raw_url")).alias("url"),
+        F.col("seed_idx"),
+        F.col("priority"),
+    )
+    f = seeds.select(
+        "url",
+        url_host(F.col("url")).alias("host"),
+        F.lit(0).alias("depth"),
+        _pad6(F.col("seed_idx")).alias("lineage"),
+        F.col("priority"),
+        F.lit(0).alias("attempt"),
+        F.lit(0).alias("round_added"),
+    )
+    return first_seen(f, "url", ["depth", "lineage"])
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        cfg: CrawlConfig | None = None,
+        use_bloom: bool = False,
+        with_convert: bool = False,
+        num_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.use_bloom = use_bloom
+        self.with_convert = with_convert
+        self.num_partitions = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        graph.register_graph_views(spark, sf_dir)
+        self.pages = graph.pages(spark)
+        self.robots = graph.robots(spark)
+        self.links = graph.links(spark)
+
+    def run(self) -> CrawlResult:
+        cfg = self.cfg
+        frontier = seen_ops.with_hashes(init_frontier(self.spark)).localCheckpoint()
+        seen = frontier.select("url", "h1", "h2").localCheckpoint()
+        logs: list[DataFrame] = []
+        payloads: list[DataFrame] = []
+        round_counts: list[dict] = []
+
+        rnd = 0
+        while rnd < cfg.max_rounds and frontier.limit(1).count() > 0:
+            allowed, blocked = robots_split(frontier, self.robots)
+            admitted, deferred = host_budget_split(allowed, cfg.host_budget_per_round)
+            admitted = schedule_slots(admitted, cfg.default_crawl_delay_ms)
+            admitted = salted_repartition(admitted, self.num_partitions)
+
+            fetched = simulated_fetch(admitted, self.pages, cfg).localCheckpoint()
+
+            log = fetched.select(
+                F.lit(rnd).alias("round"),
+                "url", "host", "depth", "lineage", "attempt", "outcome",
+                "page_id",
+                F.col("page_status").alias("status_code"),
+                "final_url", "redirected", "content_type", "strategy",
+                "elapsed_ms",
+            )
+            blocked_log = blocked.select(
+                F.lit(rnd).alias("round"),
+                "url", "host", "depth", "lineage", "attempt",
+                F.lit("blocked").alias("outcome"),
+                F.lit(None).cast("long").alias("page_id"),
+                F.lit(None).cast("int").alias("status_code"),
+                F.lit(None).cast("string").alias("final_url"),
+                F.lit(None).cast("boolean").alias("redirected"),
+                F.lit(None).cast("string").alias("content_type"),
+                F.lit(None).cast("string").alias("strategy"),
+                F.lit(None).cast("int").alias("elapsed_ms"),
+            )
+            logs.append(log.select(*LOG_COLS).unionByName(blocked_log.select(*LOG_COLS)))
+
+            if self.with_convert:
+                ok = fetched.filter(F.col("outcome") == "fetched")
+                conv = convert_stage(ok, cfg)
+                payloads.append(
+                    conv.filter(F.col("image_id").isNotNull()).select(
+                        "image_id",
+                        F.col("image_bytes").alias("bytes"),
+                        "w", "h", "fmt", "caption", "phash",
+                    )
+                )
+
+            # retry re-queue (F8): failed-retryable rows flow into the
+            # next round with attempt+1 — backoff becomes a schedule
+            # slot, not a sleep
+            retries = (
+                fetched.filter(F.col("outcome") == "retry")
+                .select(
+                    "url", "host", "depth", "lineage", "priority",
+                    (F.col("attempt") + 1).alias("attempt"),
+                    F.lit(rnd + 1).alias("round_added"),
+                    "h1", "h2",
+                )
+            )
+
+            # link expansion from fetched html pages below the depth cap
+            parents = fetched.filter(
+                (F.col("outcome") == "fetched")
+                & F.col("content_type").startswith("text/html")
+                & (F.col("depth") < cfg.max_depth)
+            ).select(
+                F.col("page_id").alias("src_page_id"),
+                F.col("depth").alias("p_depth"),
+                F.col("lineage").alias("p_lineage"),
+                F.col("priority").alias("p_priority"),
+            )
+            children = (
+                parents.join(self.links, on="src_page_id")
+                .select(
+                    canonicalize_url(F.col("raw_url")).alias("url"),
+                    F.col("dst_host").alias("host"),
+                    (F.col("p_depth") + 1).alias("depth"),
+                    F.concat(F.col("p_lineage"), F.lit("."), _pad2(F.col("doc_pos"))).alias("lineage"),
+                    F.col("p_priority").alias("priority"),
+                    F.lit(0).alias("attempt"),
+                    F.lit(rnd + 1).alias("round_added"),
+                )
+            )
+            children = seen_ops.with_hashes(first_seen(children, "url", ["depth", "lineage"]))
+
+            bloom = None
+            if self.use_bloom:
+                n = max(seen.count(), 1024)
+                bloom = seen_ops.build_bloom(seen, n_items=n * 2)
+            unseen = seen_ops.filter_unseen(children, seen, bloom)
+
+            frontier = (
+                deferred.select(*FRONTIER_COLS, "h1", "h2")
+                .unionByName(retries)
+                .unionByName(unseen.select(*FRONTIER_COLS, "h1", "h2"))
+                .localCheckpoint()
+            )
+            seen = seen.unionByName(unseen.select("url", "h1", "h2")).localCheckpoint()
+
+            counts = {
+                r["outcome"]: r["n"]
+                for r in logs[-1].groupBy("outcome").agg(F.count("*").alias("n")).collect()
+            }
+            counts["round"] = rnd
+            round_counts.append(counts)
+            rnd += 1
+
+        fetch_log = logs[0]
+        for df in logs[1:]:
+            fetch_log = fetch_log.unionByName(df)
+        # global crawl-order ordinal. Single-partition window is fine at
+        # sandbox scale; at 10^10 this becomes a range-partitioned sort +
+        # per-partition offset (zipWithIndex pattern) — the ORDER is the
+        # contract, the ordinal is bookkeeping.
+        decisions = fetch_log.filter(F.col("outcome") != "blocked")
+        w = Window.orderBy("round", "depth", "lineage")
+        ordered = decisions.withColumn("ordinal", F.row_number().over(w))
+        full_log = ordered.unionByName(
+            fetch_log.filter(F.col("outcome") == "blocked").withColumn(
+                "ordinal", F.lit(None).cast("int")
+            )
+        )
+
+        metrics = (
+            full_log.groupBy("round", "outcome").agg(F.count("*").alias("n"))
+        )
+
+        payload_df = None
+        if payloads:
+            payload_df = payloads[0]
+            for df in payloads[1:]:
+                payload_df = payload_df.unionByName(df)
+
+        return CrawlResult(
+            fetch_log=full_log,
+            seen=seen.select("url"),
+            metrics=metrics,
+            payloads=payload_df,
+            rounds=rnd,
+            round_counts=round_counts,
+        )
