@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship end-to-end crawl at sf0.001 — the full
+  frontier engine (robots, budget, retries, seen-set) returning the
+  globally ordered fetch-decision log.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2).
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL per query (generated from
+  the same constants as the Spark side, see
+  volltextextraktion_selenium_md_spark/oracles.py). Queries without an
+  entry are non-SQL-expressible (full multi-round engine loop with
+  budget/retry state; payload decode; xxhash64-seeded UA pick) and are
+  covered by the golden-replay pytest instead.
 """
 
 from __future__ import annotations
@@ -13,26 +18,60 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from volltextextraktion_selenium_md_spark import oracles
+from volltextextraktion_selenium_md_spark.plans import queries as Q
+from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full crawl of the synthetic graph at sf0.001."""
+    res = CrawlEngine(spark, SF0001).run()
+    return res.fetch_log.orderBy("ordinal")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # frontier / engine steps (SURVEY §2.3, §2.5)
+        "frontier_init": Q.q_frontier_init,
+        "canonicalize_urls": Q.q_canonicalize_urls,
+        "seen_anti_join": Q.q_seen_anti_join,
+        "link_explode": Q.q_link_explode,
+        "robots_filter": Q.q_robots_filter,
+        "politeness_slots": Q.q_politeness_slots,
+        "host_budget_topk": Q.q_host_budget_topk,
+        "retry_requeue": Q.q_retry_requeue,
+        "crawl_bfs_d1": Q.q_crawl_bfs_d1,
+        # scalar cascades (SURVEY §2.2)
+        "link_classification": Q.q_link_classification,
+        "strategy_classifier": Q.q_strategy_classifier,
+        "error_page_detect": Q.q_error_page_detect,
+        "redirect_flag": Q.q_redirect_flag,
+        "mime_to_ext": Q.q_mime_to_ext,
+        "ua_rotation": Q.q_ua_rotation,
+        "truncate_text": Q.q_truncate_text,
+        "internal_links": Q.q_internal_links,
+        # training-data pipeline: dedup family
+        "dedup_exact": Q.q_dedup_exact,
+        "doc_fingerprint": Q.q_doc_fingerprint,
+        "token_stats": Q.q_token_stats,
+        "lang_quality": Q.q_lang_quality,
+        "ngram_jaccard": Q.q_ngram_jaccard,
+        "minhash_signatures": Q.q_minhash_signatures,
+        "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
+        "simhash": Q.q_simhash,
+        "simhash_dup_pairs": Q.q_simhash_dup_pairs,
+        # training-data pipeline: similarity search
+        "cosine_topk": Q.q_cosine_topk,
+        "cosine_topk_lsh": Q.q_cosine_topk_lsh,
+        "embedding_near_dup": Q.q_embedding_near_dup,
+        # end-to-end engine (rows-only; exactness via golden replay test)
+        "crawl_full": Q.q_crawl_full,
+        "crawl_metrics": Q.q_crawl_metrics,
+        "payload_table": Q.q_payload_table,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracles.build_oracles()

@@ -61,8 +61,12 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     Built natively: split -> slide via transform over index array ->
     explode. No Python."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - 1)
+    k = F.size(toks) - F.lit(n - 1)
+    # guard: sequence(0, -1) would infer step -1 and explode; short docs
+    # get an empty gram list instead
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
@@ -110,7 +114,10 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-MINHASH_PRIME = 2305843009213693951  # 2^61 - 1 (Mersenne)
+# 2^31-1: keeps (h%p)*a+b < 2^62, safe for int64 in BOTH engines (Spark
+# runs ANSI mode — silent wraparound would instead raise — and DuckDB
+# would promote to HUGEINT and diverge)
+MINHASH_PRIME = 2147483647
 
 
 def _perm_params(num_hashes: int) -> list[tuple[int, int]]:

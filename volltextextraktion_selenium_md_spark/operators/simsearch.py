@@ -66,28 +66,24 @@ def cosine_topk_bruteforce(
     )
 
 
+def hyperplane_weight(plane: int, d: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-1000, 1000]:
+    md5 of 'p{plane}d{d}' -> first 8 hex digits -> mod 2001 - 1000.
+    Computed once in Python (hashlib md5 == Spark md5 == DuckDB md5),
+    emitted as literals into both engines."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}d{d}".encode()).hexdigest()[:8], 16)
+    return (h % 2001) - 1000
+
+
 def _hyperplane_sign(emb: Column, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: weight for (plane, d) =
-    (md5-derived int mod 2001) - 1000, i.e. uniform-ish in [-1000,1000].
-    Sign of the weighted sum = one signature bit. Reproducible in SQL."""
-    terms = [
-        F.element_at(emb, d + 1).cast("double")
-        * (
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"p{plane}d"), F.lit(str(d)))), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % 2001
-            )
-            - 1000
-        ).cast("double")
-        for d in range(dim)
-    ]
-    s = terms[0]
-    for t in terms[1:]:
-        s = s + t
+    """Sign bit of the weighted sum against one deterministic plane."""
+    s = F.lit(0.0)
+    for d in range(dim):
+        s = s + F.element_at(emb, d + 1).cast("double") * F.lit(
+            float(hyperplane_weight(plane, d))
+        )
     return (s > 0).cast("int")
 
 

@@ -1,0 +1,600 @@
+"""DuckDB oracle SQL for every oracle-checkable query in
+`plans/queries.py`.
+
+Generated programmatically from the SAME constants the Spark side uses
+(error-hint list, MIME map, minhash permutation params, simhash bit
+count, LSH hyperplane weights), so the two sides cannot drift. Dialect
+notes:
+- hex->int is `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` here vs
+  Spark's `conv(substr(md5(x),1,15),16,10)` — same value.
+- DuckDB `regexp_replace` needs the 'g' flag for global; Spark is
+  always global.
+- count/size/row_number results are CAST to the Spark column types so
+  the driver's schema comparison agrees.
+"""
+
+from __future__ import annotations
+
+from volltextextraktion_selenium_md_spark.functions.classify import (
+    DOWNLOAD_EXTS,
+    ERROR_HINTS_MD,
+    NAV_TEXTS,
+    SOCIAL_DOMAINS,
+)
+from volltextextraktion_selenium_md_spark.functions.mime import MIME_TO_EXT
+from volltextextraktion_selenium_md_spark.graph import canon_sql, graph_with_clause
+from volltextextraktion_selenium_md_spark.operators.dedup import (
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+    _perm_params,
+)
+from volltextextraktion_selenium_md_spark.operators.simsearch import hyperplane_weight
+from volltextextraktion_selenium_md_spark.plans import queries as Q
+
+# --- shared CTE fragments ----------------------------------------------------
+
+F_INIT = f"""
+SELECT url, host, depth, lineage, priority FROM (
+  SELECT canon AS url, host, 0 AS depth, lineage, priority,
+         row_number() OVER (PARTITION BY canon ORDER BY lineage) AS rn
+  FROM (
+    SELECT {canon_sql("raw_url")} AS canon, host,
+           lpad(CAST(seed_idx AS STRING), 6, '0') AS lineage, priority
+    FROM g_seeds) s0
+) s1 WHERE rn = 1
+"""
+
+_PATH = "('/page/' || split_part({u}, '/page/', 2))"
+_BLOCKED = (
+    "(r.disallow_prefix IS NOT NULL AND "
+    + _PATH.format(u="f.url")
+    + " LIKE r.disallow_prefix || '%')"
+)
+
+D1_CAND = """
+SELECT url, host, depth, lineage FROM (
+  SELECT c.*, row_number() OVER (PARTITION BY url ORDER BY depth, lineage) AS rn
+  FROM (
+    SELECT l.dst_url AS url, l.dst_host AS host, 1 AS depth,
+           f.lineage || '.' || lpad(CAST(l.doc_pos AS STRING), 2, '0') AS lineage
+    FROM f_init f
+    JOIN g_pages p ON p.url = f.url
+         AND p.status < 400 AND p.content_type LIKE 'text/html%'
+    JOIN g_links l ON l.src_page_id = p.page_id
+  ) c
+) d WHERE rn = 1
+"""
+
+_HEX15 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+_TOKS = "str_split_regex(lower(trim(text)), '\\s+')"
+SHINGLES = f"""
+SELECT DISTINCT doc_id,
+  unnest(list_transform(range(1, greatest(len(a)-1, 1)),
+                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+FROM (SELECT doc_id, {_TOKS} AS a FROM documents)
+"""
+
+
+def _with(extra: dict[str, str]) -> str:
+    return graph_with_clause(extra)
+
+
+def _docs_with(ctes: dict[str, str]) -> str:
+    parts = [f"{k} AS ({v})" for k, v in ctes.items()]
+    return "WITH " + ",\n".join(parts)
+
+
+# --- frontier / engine-step oracles ------------------------------------------
+
+def sql_frontier_init() -> str:
+    return _with({"f_init": F_INIT}) + "\nSELECT * FROM f_init"
+
+
+def sql_canonicalize_urls() -> str:
+    return (
+        _with({})
+        + f"""
+SELECT raw_url, {canon_sql("raw_url")} AS url FROM
+(SELECT raw_url FROM g_seeds UNION SELECT raw_url FROM g_links) u
+"""
+    )
+
+
+def sql_seen_anti_join() -> str:
+    return (
+        _with({"f_init": F_INIT})
+        + """
+SELECT c.url FROM (
+  SELECT DISTINCT l.dst_url AS url FROM g_links l
+  JOIN (SELECT DISTINCT dst_page_id FROM g_seeds) sp
+       ON l.src_page_id = sp.dst_page_id
+) c WHERE NOT EXISTS (SELECT 1 FROM f_init f WHERE f.url = c.url)
+"""
+    )
+
+
+def sql_link_explode() -> str:
+    return (
+        _with({})
+        + """
+SELECT l.src_page_id, l.doc_pos, l.raw_url, l.text FROM g_links l
+JOIN (SELECT DISTINCT dst_page_id FROM g_seeds) sp
+     ON l.src_page_id = sp.dst_page_id
+"""
+    )
+
+
+def sql_robots_filter() -> str:
+    return (
+        _with({"f_init": F_INIT})
+        + f"""
+SELECT f.url, {_BLOCKED} AS blocked
+FROM f_init f LEFT JOIN g_robots r ON f.host = r.host
+"""
+    )
+
+
+def sql_politeness_slots() -> str:
+    return (
+        _with({"f_init": F_INIT})
+        + f"""
+, nb AS (
+  SELECT f.url, f.host, f.depth, f.lineage, r.crawl_delay_ms
+  FROM f_init f LEFT JOIN g_robots r ON f.host = r.host
+  WHERE NOT {_BLOCKED}
+)
+SELECT url, host,
+  CAST((row_number() OVER (PARTITION BY host ORDER BY depth, lineage) - 1)
+       * coalesce(crawl_delay_ms, 100) AS INTEGER) AS sched_slot_ms
+FROM nb
+"""
+    )
+
+
+def sql_host_budget_topk() -> str:
+    return (
+        _with({"f_init": F_INIT, "d1": D1_CAND})
+        + f"""
+SELECT url, host, lineage FROM (
+  SELECT d.*, row_number() OVER (PARTITION BY host ORDER BY depth, lineage) AS hrn
+  FROM d1 d
+) t WHERE hrn <= {Q.BUDGET_TOPK}
+"""
+    )
+
+
+def sql_retry_requeue() -> str:
+    return (
+        _with({"f_init": F_INIT})
+        + """
+SELECT f.url, CAST(1 AS INTEGER) AS attempt
+FROM f_init f JOIN g_pages p ON p.url = f.url
+WHERE p.status IN (500, 502, 503, 504)
+"""
+    )
+
+
+def sql_crawl_bfs_d1() -> str:
+    return (
+        _with({"f_init": F_INIT, "d1": D1_CAND})
+        + """
+, allrows AS (
+  SELECT url, depth, lineage FROM f_init
+  UNION ALL
+  SELECT url, depth, lineage FROM d1
+  WHERE url NOT IN (SELECT url FROM f_init)
+)
+SELECT url, depth, lineage,
+       CAST(row_number() OVER (ORDER BY depth, lineage) AS INTEGER) AS ordinal
+FROM allrows
+"""
+    )
+
+
+# --- scalar cascade oracles ---------------------------------------------------
+
+def sql_link_classification() -> str:
+    lurl = "lower(url)"
+    host = f"regexp_extract({lurl}, '^[a-z0-9+.-]+://([^/:?#]+)', 1)"
+    path = f"regexp_extract({lurl}, '^[a-z0-9+.-]+://[^/?#]*(/[^?#]*)', 1)"
+    social = " OR ".join(f"{host} LIKE '%{d}'" for d in SOCIAL_DOMAINS)
+    download = " OR ".join(f"{path} LIKE '%{e}'" for e in DOWNLOAD_EXTS)
+    nav = ", ".join(f"'{t}'" for t in NAV_TEXTS)
+    return (
+        _with({"link_cases": Q.LINK_CASES_BODY})
+        + f"""
+SELECT case_id, url, text,
+  CASE
+    WHEN {lurl} LIKE 'javascript:%' OR {lurl} LIKE '#%' THEN 'anchor'
+    WHEN {social} THEN 'social'
+    WHEN regexp_matches({lurl}, '/(impressum|datenschutz|privacy|agb|terms|cookies?)($|/)') THEN 'legal'
+    WHEN regexp_matches({lurl}, '/(login|logout|sign(in|out|up)|register)($|/)') THEN 'auth'
+    WHEN regexp_matches({lurl}, '/(search|suche)($|/)|[?&](q|query|search|suche)=') THEN 'search'
+    WHEN regexp_matches({lurl}, '/(contact|kontakt|support|help)($|/)') THEN 'contact'
+    WHEN {download} THEN 'download'
+    WHEN lower(trim(coalesce(text, ''))) IN ({nav}) THEN 'nav'
+    ELSE 'content'
+  END AS category
+FROM link_cases
+"""
+    )
+
+
+_STRATEGY_CASE = """
+CASE
+  WHEN lower(content_type) LIKE 'application/pdf%'
+       OR lower(final_url) LIKE '%.pdf' THEN 'PDF'
+  WHEN lower(content_type) LIKE '%application/rss%'
+       OR lower(content_type) LIKE '%application/atom+xml%' THEN 'RSS'
+  WHEN bot_wall THEN 'BLOCKED'
+  WHEN youtube THEN 'YOUTUBE'
+  WHEN rss_link THEN 'RSS'
+  WHEN text_len >= 800 AND (has_main OR NOT spa_mark)
+       AND NOT js_required AND NOT consent THEN 'HTTP_ONLY'
+  WHEN (spa_mark OR (has_main AND text_len < 500) OR js_required OR consent)
+       AND consent THEN 'JS_LIGHT_CONSENT'
+  WHEN spa_mark OR (has_main AND text_len < 500) OR js_required OR consent
+       THEN 'JS_LIGHT'
+  ELSE 'HTTP_THEN_JS'
+END
+"""
+
+
+def sql_strategy_classifier() -> str:
+    return _with({}) + f"\nSELECT page_id, {_STRATEGY_CASE} AS strategy FROM g_pages"
+
+
+def sql_error_page_detect() -> str:
+    likes = " OR ".join(
+        "lower(markdown) LIKE '%" + h.replace("'", "''") + "%'" for h in ERROR_HINTS_MD
+    )
+    return (
+        _with({"error_cases": Q.ERROR_CASES_BODY})
+        + f"""
+SELECT page_id, markdown,
+       (status >= 400 OR {likes}) AS error_page_detected
+FROM error_cases
+"""
+    )
+
+
+def sql_redirect_flag() -> str:
+    return (
+        _with({})
+        + """
+SELECT page_id,
+       regexp_replace(final_url, '/+$', '') <> regexp_replace(url, '/+$', '')
+       AS redirected
+FROM g_pages
+"""
+    )
+
+
+def sql_mime_to_ext() -> str:
+    whens = "\n".join(
+        f"    WHEN '{k}' THEN '{v}'" for k, v in MIME_TO_EXT.items()
+    )
+    return (
+        _with({})
+        + f"""
+SELECT page_id, content_type,
+  CASE lower(trim(split_part(content_type, ';', 1)))
+{whens}
+    ELSE '.bin'
+  END AS ext
+FROM g_pages
+"""
+    )
+
+
+def sql_truncate_text() -> str:
+    n = Q.TRUNCATE_CHARS
+    return f"""
+SELECT doc_id,
+  CASE WHEN length(text) > {n} THEN substr(text, 1, {n}) ELSE text END AS text_cut,
+  length(text) > {n} AS truncated
+FROM documents
+"""
+
+
+def sql_internal_links() -> str:
+    return (
+        _with({})
+        + """
+SELECT l.src_page_id, l.doc_pos, l.dst_url AS url,
+       (p.host = l.dst_host) AS internal
+FROM g_links l JOIN g_pages p ON p.page_id = l.src_page_id
+"""
+    )
+
+
+# --- training-data pipeline oracles -------------------------------------------
+
+_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+def sql_dedup_exact() -> str:
+    return f"""
+SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM (SELECT doc_id, {_FP} AS fp FROM documents) t
+GROUP BY fp
+"""
+
+
+def sql_doc_fingerprint() -> str:
+    return f"SELECT doc_id, {_FP} AS fp FROM documents"
+
+
+def sql_token_stats() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS INTEGER) AS n_tokens,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(list_distinct({_TOKS})) END AS INTEGER) AS n_distinct_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents
+"""
+
+
+def sql_lang_quality() -> str:
+    from volltextextraktion_selenium_md_spark.functions.text import LANG_MARKERS
+
+    score = {
+        lang: " + ".join(
+            f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+            for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_MARKERS) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'unknown'\n" + "\n".join(
+        f"  WHEN s_{lg} = {best} THEN '{lg}'" for lg in LANG_MARKERS
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+    {", ".join(f"({score[lg]}) AS s_{lg}" for lg in LANG_MARKERS)}
+  FROM documents
+), toks AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len(list_distinct({_TOKS})) END AS d,
+    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS pc
+  FROM documents
+)
+SELECT s.doc_id,
+  {lang_case} AS lang_pred,
+  round(0.4 * least(CAST(length(s.text) AS DOUBLE) / 500.0, 1.0)
+      + 0.4 * (CASE WHEN t.n > 0 THEN CAST(t.d AS DOUBLE) / t.n ELSE 0.0 END)
+      + 0.2 * (1.0 - least((CASE WHEN length(s.text) > 0
+                    THEN CAST(t.pc AS DOUBLE) / length(s.text) ELSE 0.0 END) * 5.0,
+                    1.0)), 4) AS quality
+FROM scored s JOIN toks t ON s.doc_id = t.doc_id
+"""
+
+
+def sql_ngram_jaccard() -> str:
+    return f"""
+WITH sh AS ({SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter), 4)
+  AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
+      >= {Q.JACCARD_T}
+"""
+
+
+def _minhash_aggs() -> list[str]:
+    h = _HEX15.format(x="shingle")
+    return [
+        f"min(({h} % {MINHASH_PRIME} * {a} + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_params(Q.MINHASH_H))
+    ]
+
+
+def sql_minhash_signatures() -> str:
+    return f"""
+WITH sh AS ({SHINGLES})
+SELECT doc_id, {", ".join(_minhash_aggs())}
+FROM sh GROUP BY doc_id
+"""
+
+
+def sql_minhash_lsh_pairs() -> str:
+    r = Q.MINHASH_H // Q.MINHASH_BANDS
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"mh_{b * r + j}" for j in range(r))
+        + ")) AS bucket FROM sig"
+        for b in range(Q.MINHASH_BANDS)
+    )
+    eq = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(Q.MINHASH_H)
+    )
+    return f"""
+WITH sh AS ({SHINGLES}),
+sig AS (SELECT doc_id, {", ".join(_minhash_aggs())} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+  round(({eq}) / {float(Q.MINHASH_H)}, 4) AS est_jaccard
+FROM cand
+JOIN sig a ON a.doc_id = doc_a
+JOIN sig b ON b.doc_id = doc_b
+WHERE ({eq}) / {float(Q.MINHASH_H)} >= {Q.LSH_EST_T}
+"""
+
+
+_SIMHASH_CTE = f"""
+SELECT doc_id, {", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+    for b in range(SIMHASH_BITS)
+)}
+FROM (
+  SELECT doc_id, {_HEX15.format(x="tok")} AS h FROM (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+  ) t0
+) t1 GROUP BY doc_id
+"""
+
+_SIMHASH_FP = "CAST(" + " + ".join(
+    f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+) + " AS BIGINT)"
+
+
+def sql_simhash() -> str:
+    return f"""
+WITH sums AS ({_SIMHASH_CTE})
+SELECT doc_id, {_SIMHASH_FP} AS simhash FROM sums
+"""
+
+
+def sql_simhash_dup_pairs() -> str:
+    bands = Q.SIMHASH_MAX_HAMMING + 1
+    width = SIMHASH_BITS // bands
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * width}) & {(1 << width) - 1} AS bucket FROM sh"
+        for b in range(bands)
+    )
+    return f"""
+WITH sums AS ({_SIMHASH_CTE}),
+sh AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM sums),
+banded AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sh_a, y.simhash AS sh_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {Q.SIMHASH_MAX_HAMMING}
+"""
+
+
+# --- similarity search oracles -------------------------------------------------
+
+_NORM_CTE = """
+SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS n
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) b
+"""
+
+
+def sql_cosine_topk() -> str:
+    ids = ", ".join(str(i) for i in Q.COS_QUERY_IDS)
+    return f"""
+WITH norm AS ({_NORM_CTE}),
+q AS (SELECT vec_id AS query_id, e AS qe, n AS qn FROM norm
+      WHERE vec_id IN ({ids})),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_inner_product(b.e, q.qe) / (b.n * q.qn), 4) AS cos
+  FROM norm b, q WHERE b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+) r WHERE rank <= {Q.COS_K}
+"""
+
+
+def _bucket_expr(alias: str = "e") -> str:
+    planes = []
+    for p in range(Q.LSH_PLANES):
+        terms = " + ".join(
+            f"{alias}[{d + 1}] * {float(hyperplane_weight(p, d))}"
+            for d in range(Q.EMB_DIM)
+        )
+        planes.append(
+            f"CASE WHEN ({terms}) > 0 THEN {1 << (Q.LSH_PLANES - 1 - p)} ELSE 0 END"
+        )
+    return "(" + " + ".join(planes) + ")"
+
+
+def sql_cosine_topk_lsh() -> str:
+    ids = ", ".join(str(i) for i in Q.COS_QUERY_IDS)
+    return f"""
+WITH norm AS ({_NORM_CTE}),
+lshd AS (SELECT vec_id, e, n, {_bucket_expr("e")} AS bucket FROM norm),
+q AS (SELECT vec_id AS query_id, e AS qe, n AS qn, bucket AS q_bucket
+      FROM lshd WHERE vec_id IN ({ids})),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(list_inner_product(b.e, q.qe) / (b.n * q.qn), 4) AS cos
+  FROM lshd b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+) r WHERE rank <= {Q.COS_K}
+"""
+
+
+def sql_embedding_near_dup() -> str:
+    return f"""
+WITH norm AS ({_NORM_CTE}),
+lshd AS (SELECT vec_id, e, n, {_bucket_expr("e")} AS bucket FROM norm)
+SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+  round(list_inner_product(x.e, y.e) / (x.n * y.n), 4) AS cos
+FROM lshd x JOIN lshd y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_inner_product(x.e, y.e) / (x.n * y.n) >= {Q.NEAR_DUP_T}
+"""
+
+
+# --- registry -----------------------------------------------------------------
+
+ORACLES: dict[str, str] = {}
+
+
+def build_oracles() -> dict[str, str]:
+    global ORACLES
+    ORACLES = {
+        "frontier_init": sql_frontier_init(),
+        "canonicalize_urls": sql_canonicalize_urls(),
+        "seen_anti_join": sql_seen_anti_join(),
+        "link_explode": sql_link_explode(),
+        "robots_filter": sql_robots_filter(),
+        "politeness_slots": sql_politeness_slots(),
+        "host_budget_topk": sql_host_budget_topk(),
+        "retry_requeue": sql_retry_requeue(),
+        "crawl_bfs_d1": sql_crawl_bfs_d1(),
+        "link_classification": sql_link_classification(),
+        "strategy_classifier": sql_strategy_classifier(),
+        "error_page_detect": sql_error_page_detect(),
+        "redirect_flag": sql_redirect_flag(),
+        "mime_to_ext": sql_mime_to_ext(),
+        "truncate_text": sql_truncate_text(),
+        "internal_links": sql_internal_links(),
+        "dedup_exact": sql_dedup_exact(),
+        "doc_fingerprint": sql_doc_fingerprint(),
+        "token_stats": sql_token_stats(),
+        "lang_quality": sql_lang_quality(),
+        "ngram_jaccard": sql_ngram_jaccard(),
+        "minhash_signatures": sql_minhash_signatures(),
+        "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "simhash": sql_simhash(),
+        "simhash_dup_pairs": sql_simhash_dup_pairs(),
+        "cosine_topk": sql_cosine_topk(),
+        "cosine_topk_lsh": sql_cosine_topk_lsh(),
+        "embedding_near_dup": sql_embedding_near_dup(),
+    }
+    return ORACLES

@@ -1,0 +1,406 @@
+"""Spark-side implementations of every driver-contract query.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose
+column names match the paired oracle SQL in `oracles.py` exactly (the
+driver sorts columns by name before hashing values). Together these
+cover SURVEY §2's operator inventory: frontier ops (§2.3), scalar
+cascades (§2.2), engine-step windows/joins (§2.5), and the
+training-data pipeline family (dedup / similarity / text analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from volltextextraktion_selenium_md_spark import graph
+from volltextextraktion_selenium_md_spark.config import CrawlConfig
+from volltextextraktion_selenium_md_spark.functions import classify, mime, text as textf
+from volltextextraktion_selenium_md_spark.functions.urls import (
+    canonicalize_url,
+    is_internal,
+    redirect_flag,
+    url_host,
+)
+from volltextextraktion_selenium_md_spark.operators import dedup, seen as seen_ops, simsearch
+from volltextextraktion_selenium_md_spark.operators.dedup import first_seen
+from volltextextraktion_selenium_md_spark.operators.politeness import (
+    host_budget_split,
+    robots_split,
+    schedule_slots,
+)
+from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine, init_frontier
+
+# shared query parameters (mirrored into the oracle SQL)
+BUDGET_TOPK = 3
+TRUNCATE_CHARS = 100
+JACCARD_T = 0.3
+MINHASH_H = 8
+MINHASH_BANDS = 4
+LSH_EST_T = 0.25
+SIMHASH_MAX_HAMMING = 3
+COS_QUERY_IDS = list(range(10))
+COS_K = 5
+LSH_PLANES = 6
+EMB_DIM = 64
+NEAR_DUP_T = 0.2
+
+
+def _g(spark: SparkSession, sf_dir: str) -> None:
+    graph.register_graph_views(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- frontier / crawl-engine steps ------------------------------------------
+
+def q_frontier_init(spark, sf_dir):
+    _g(spark, sf_dir)
+    return init_frontier(spark).select("url", "host", "depth", "lineage", "priority")
+
+
+def q_canonicalize_urls(spark, sf_dir):
+    _g(spark, sf_dir)
+    raws = (
+        graph.seeds(spark).select("raw_url")
+        .unionByName(graph.links(spark).select("raw_url"))
+        .distinct()
+    )
+    return raws.select("raw_url", canonicalize_url(F.col("raw_url")).alias("url"))
+
+
+def q_seen_anti_join(spark, sf_dir):
+    _g(spark, sf_dir)
+    seen = init_frontier(spark).select("url")
+    seed_pages = graph.seeds(spark).select(
+        F.col("dst_page_id").alias("src_page_id")
+    ).distinct()
+    candidates = (
+        graph.links(spark).join(seed_pages, on="src_page_id")
+        .select(F.col("dst_url").alias("url")).distinct()
+    )
+    return seen_ops.filter_unseen(candidates, seen)
+
+
+def q_link_explode(spark, sf_dir):
+    """Array-of-struct round trip: pack each seed page's links into an
+    ordered LinkInfo array (the CrawlResponse `links` field shape,
+    reference app/schemas.py:229-245), then explode it back."""
+    _g(spark, sf_dir)
+    seed_pages = graph.seeds(spark).select(
+        F.col("dst_page_id").alias("src_page_id")
+    ).distinct()
+    packed = (
+        graph.links(spark).join(seed_pages, on="src_page_id")
+        .groupBy("src_page_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_pos", "raw_url", "text"))
+            ).alias("links")
+        )
+    )
+    exploded = packed.select("src_page_id", F.explode("links").alias("l"))
+    return exploded.select(
+        "src_page_id",
+        F.col("l.doc_pos").alias("doc_pos"),
+        F.col("l.raw_url").alias("raw_url"),
+        F.col("l.text").alias("text"),
+    )
+
+
+def q_robots_filter(spark, sf_dir):
+    _g(spark, sf_dir)
+    allowed, blocked = robots_split(init_frontier(spark), graph.robots(spark))
+    return (
+        allowed.select("url", F.lit(False).alias("blocked"))
+        .unionByName(blocked.select("url", F.lit(True).alias("blocked")))
+    )
+
+
+def q_politeness_slots(spark, sf_dir):
+    _g(spark, sf_dir)
+    allowed, _ = robots_split(init_frontier(spark), graph.robots(spark))
+    slotted = schedule_slots(allowed, CrawlConfig().default_crawl_delay_ms)
+    return slotted.select("url", "host", "sched_slot_ms")
+
+
+def _depth1_candidates(spark) -> DataFrame:
+    """First-seen-deduped depth-1 candidate frontier from seed pages."""
+    f0 = init_frontier(spark)
+    pages = graph.pages(spark).select(
+        "url", "page_id", "status", "content_type"
+    )
+    parents = (
+        f0.join(pages, on="url")
+        .filter((F.col("status") < 400) & F.col("content_type").startswith("text/html"))
+        .select(
+            F.col("page_id").alias("src_page_id"),
+            F.col("lineage").alias("p_lineage"),
+        )
+    )
+    children = parents.join(graph.links(spark), on="src_page_id").select(
+        canonicalize_url(F.col("raw_url")).alias("url"),
+        F.col("dst_host").alias("host"),
+        F.lit(1).alias("depth"),
+        F.concat(
+            F.col("p_lineage"), F.lit("."), F.lpad(F.col("doc_pos").cast("string"), 2, "0")
+        ).alias("lineage"),
+    )
+    return first_seen(children, "url", ["depth", "lineage"])
+
+
+def q_host_budget_topk(spark, sf_dir):
+    _g(spark, sf_dir)
+    admitted, _ = host_budget_split(_depth1_candidates(spark), BUDGET_TOPK)
+    return admitted.select("url", "host", "lineage")
+
+
+def q_retry_requeue(spark, sf_dir):
+    _g(spark, sf_dir)
+    cfg = CrawlConfig()
+    f0 = init_frontier(spark).withColumn("attempt", F.lit(0))
+    joined = f0.join(graph.pages(spark).select("url", "status"), on="url", how="left")
+    retry = joined.filter(
+        F.col("status").isin(list(cfg.retryable_statuses)) & (F.col("attempt") < cfg.retries)
+    )
+    return retry.select("url", (F.col("attempt") + 1).alias("attempt"))
+
+
+def q_crawl_bfs_d1(spark, sf_dir):
+    """Two BFS rounds, no budget/robots/retry — the pure ordering
+    contract (depth, lineage) as one oracle-checkable DataFrame."""
+    _g(spark, sf_dir)
+    f0 = init_frontier(spark).select("url", "depth", "lineage")
+    d1 = _depth1_candidates(spark)
+    d1_new = d1.join(f0.select("url"), on="url", how="left_anti").select(
+        "url", "depth", "lineage"
+    )
+    both = f0.unionByName(d1_new)
+    w = Window.orderBy("depth", "lineage")
+    return both.withColumn("ordinal", F.row_number().over(w))
+
+
+# --- scalar cascades ---------------------------------------------------------
+
+def q_link_classification(spark, sf_dir):
+    _g(spark, sf_dir)
+    cases = spark.sql(LINK_CASES_BODY)
+    return cases.select(
+        "case_id",
+        "url",
+        "text",
+        classify.classify_link(F.col("url"), F.col("text")).alias("category"),
+    )
+
+
+def q_strategy_classifier(spark, sf_dir):
+    _g(spark, sf_dir)
+    p = graph.pages(spark)
+    return p.select(
+        "page_id",
+        classify.classify_strategy(
+            F.col("content_type"), F.col("final_url"), F.col("text_len"),
+            F.col("has_main"), F.col("spa_mark"), F.col("js_required"),
+            F.col("consent"), F.col("bot_wall"), F.col("rss_link"), F.col("youtube"),
+        ).alias("strategy"),
+    )
+
+
+def q_error_page_detect(spark, sf_dir):
+    _g(spark, sf_dir)
+    cases = spark.sql(ERROR_CASES_BODY)
+    return cases.select(
+        "page_id",
+        "markdown",
+        classify.error_page_detected(F.col("markdown"), F.col("status")).alias(
+            "error_page_detected"
+        ),
+    )
+
+
+def q_redirect_flag(spark, sf_dir):
+    _g(spark, sf_dir)
+    p = graph.pages(spark)
+    return p.select(
+        "page_id",
+        redirect_flag(F.col("url"), F.col("final_url")).alias("redirected"),
+    )
+
+
+def q_mime_to_ext(spark, sf_dir):
+    _g(spark, sf_dir)
+    return graph.pages(spark).select(
+        "page_id",
+        "content_type",
+        mime.guess_extension(F.col("content_type")).alias("ext"),
+    )
+
+
+def q_ua_rotation(spark, sf_dir):
+    """Deterministic UA pick (xxhash64-seeded — JVM hash, no SQL oracle;
+    rows-only check + pytest determinism test)."""
+    _g(spark, sf_dir)
+    return graph.pages(spark).select(
+        "page_id", mime.pick_user_agent(F.col("url")).alias("user_agent")
+    )
+
+
+def q_truncate_text(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.when(F.length(t) > TRUNCATE_CHARS, F.substring(t, 1, TRUNCATE_CHARS))
+        .otherwise(t)
+        .alias("text_cut"),
+        (F.length(t) > TRUNCATE_CHARS).alias("truncated"),
+    )
+
+
+def q_internal_links(spark, sf_dir):
+    _g(spark, sf_dir)
+    links = graph.links(spark)
+    src = graph.pages(spark).select(
+        F.col("page_id").alias("src_page_id"), F.col("url").alias("src_url")
+    )
+    return links.join(src, on="src_page_id").select(
+        "src_page_id",
+        "doc_pos",
+        F.col("dst_url").alias("url"),
+        is_internal(F.col("dst_url"), F.col("src_url")).alias("internal"),
+    )
+
+
+# --- training-data pipeline: dedup family ------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", textf.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textf.token_count(t).alias("n_tokens"),
+        textf.distinct_token_count(t).alias("n_distinct_tokens"),
+        F.length(t).alias("n_chars_actual"),
+    )
+
+
+def q_lang_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textf.lang_id(t).alias("lang_pred"),
+        textf.quality_score(t).alias("quality"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=MINHASH_H)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, num_hashes=MINHASH_H,
+        bands=MINHASH_BANDS, threshold=LSH_EST_T,
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    return dedup.simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+# --- training-data pipeline: similarity search --------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    return simsearch.cosine_topk_bruteforce(_embs(spark, sf_dir), COS_QUERY_IDS, COS_K)
+
+
+def q_cosine_topk_lsh(spark, sf_dir):
+    return simsearch.cosine_topk_lsh(
+        _embs(spark, sf_dir), COS_QUERY_IDS, COS_K, LSH_PLANES, EMB_DIM
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return simsearch.cosine_near_dup_pairs(
+        _embs(spark, sf_dir), NEAR_DUP_T, LSH_PLANES, EMB_DIM
+    )
+
+
+# --- end-to-end (rows-only; exactness covered by the golden replay test) -----
+
+def q_crawl_full(spark, sf_dir):
+    res = CrawlEngine(spark, sf_dir).run()
+    return res.fetch_log.filter(F.col("outcome") != "blocked").select(
+        "ordinal", "round", "url", "depth", "lineage", "attempt", "outcome"
+    )
+
+
+def q_crawl_metrics(spark, sf_dir):
+    res = CrawlEngine(spark, sf_dir).run()
+    return res.metrics
+
+
+def q_payload_table(spark, sf_dir):
+    res = CrawlEngine(spark, sf_dir, with_convert=True).run()
+    assert res.payloads is not None
+    return res.payloads.select("image_id", "w", "h", "fmt", "caption", "phash")
+
+
+# --- shared test-case view bodies (also composed into the oracle SQL) --------
+
+LINK_CASES_BODY = """
+SELECT
+  dst_page_id AS case_id,
+  CASE dst_page_id % 9
+    WHEN 0 THEN 'javascript:void(0)'
+    WHEN 1 THEN '#section-2'
+    WHEN 2 THEN 'https://twitter.com/share?u=' || CAST(dst_page_id AS STRING)
+    WHEN 3 THEN dst_url || '/impressum/'
+    WHEN 4 THEN dst_url || '/login'
+    WHEN 5 THEN dst_url || '/search?q=' || CAST(dst_page_id AS STRING)
+    WHEN 6 THEN dst_url || '/kontakt'
+    WHEN 7 THEN dst_url || '/report.pdf'
+    ELSE dst_url END AS url,
+  CASE WHEN dst_page_id % 11 = 0 THEN 'Home'
+       WHEN dst_page_id % 11 = 1 THEN '  TOP '
+       ELSE text END AS text
+FROM (SELECT DISTINCT dst_page_id, dst_url, text FROM g_links)
+"""
+
+ERROR_CASES_BODY = """
+SELECT
+  page_id,
+  status,
+  CASE page_id % 6
+    WHEN 0 THEN 'Welcome to a page with plenty of useful content'
+    WHEN 1 THEN 'HTTP 404 - the page was not found on this server'
+    WHEN 2 THEN 'Seite nicht gefunden. Bitte versuchen Sie es erneut.'
+    WHEN 3 THEN 'Service temporarily unavailable due to maintenance'
+    WHEN 4 THEN 'Checking your browser... cloudflare captcha challenge'
+    ELSE 'A perfectly normal article about distributed systems' END AS markdown
+FROM g_pages
+"""
