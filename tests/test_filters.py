@@ -1,0 +1,73 @@
+"""Bloom / cuckoo filter unit tests (numpy membership structures)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from volltextextraktion_selenium_md_spark.operators.filters import BloomFilter, CuckooFilter
+
+
+def _keys(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+
+
+def test_bloom_no_false_negatives():
+    h1, h2 = _keys(5000, 1), _keys(5000, 2)
+    bf = BloomFilter(5000, 0.01)
+    bf.add(h1, h2)
+    assert bf.contains(h1, h2).all()
+
+
+def test_bloom_fp_rate_reasonable():
+    h1, h2 = _keys(5000, 1), _keys(5000, 2)
+    bf = BloomFilter(5000, 0.01)
+    bf.add(h1, h2)
+    o1, o2 = _keys(20000, 3), _keys(20000, 4)
+    fp = bf.contains(o1, o2).mean()
+    assert fp < 0.05
+
+
+def test_bloom_roundtrip_and_union():
+    a1, a2 = _keys(100, 1), _keys(100, 2)
+    b1, b2 = _keys(100, 3), _keys(100, 4)
+    bf_a = BloomFilter(1000)
+    bf_a.add(a1, a2)
+    bf_b = BloomFilter(1000)
+    bf_b.add(b1, b2)
+    merged = BloomFilter.from_bytes(bf_a.union(bf_b).to_bytes())
+    assert merged.contains(a1, a2).all()
+    assert merged.contains(b1, b2).all()
+
+
+def test_cuckoo_insert_contains_delete():
+    keys = _keys(2000, 7)
+    cf = CuckooFilter(4000)
+    inserted = cf.insert(keys)
+    assert inserted == len(keys)
+    assert cf.contains(keys).all()
+    # delete half, the rest must remain (deletability — bloom can't)
+    half = keys[:1000]
+    removed = cf.delete(half)
+    assert removed == 1000
+    assert cf.contains(keys[1000:]).all()
+
+
+def test_cuckoo_serialization():
+    keys = _keys(500, 9)
+    cf = CuckooFilter(1000)
+    cf.insert(keys)
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.contains(keys).all()
+    assert cf2.n_buckets == cf.n_buckets
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=200, unique=True))
+def test_cuckoo_property_membership(xs):
+    arr = np.array(xs, dtype=np.int64)
+    cf = CuckooFilter(max(len(xs) * 2, 64))
+    cf.insert(arr)
+    assert cf.contains(arr).all()

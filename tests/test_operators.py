@@ -1,0 +1,128 @@
+"""Operator-level tests: first-seen dedup, politeness slots, budget cut,
+convert chain branches, LSH recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from volltextextraktion_selenium_md_spark import graph
+from volltextextraktion_selenium_md_spark.operators.dedup import first_seen
+from volltextextraktion_selenium_md_spark.operators.politeness import (
+    host_budget_split,
+    schedule_slots,
+)
+from volltextextraktion_selenium_md_spark.operators.simsearch import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from volltextextraktion_selenium_md_spark.plans.convert import _Breaker, convert_bytes
+
+
+def test_first_seen_keeps_earliest(spark):
+    df = spark.createDataFrame(
+        [("u", 1, "b"), ("u", 0, "z"), ("u", 0, "a"), ("v", 5, "x")],
+        ["url", "depth", "lineage"],
+    )
+    rows = {
+        r["url"]: (r["depth"], r["lineage"])
+        for r in first_seen(df, "url", ["depth", "lineage"]).collect()
+    }
+    assert rows == {"u": (0, "a"), "v": (5, "x")}
+
+
+def test_budget_split_rank_cut(spark):
+    df = spark.createDataFrame(
+        [("h", 0, f"{i:02d}") for i in range(10)] + [("g", 0, "00")],
+        ["host", "depth", "lineage"],
+    )
+    admitted, deferred = host_budget_split(df, 4)
+    assert admitted.filter("host = 'h'").count() == 4
+    assert deferred.filter("host = 'h'").count() == 6
+    assert admitted.filter("host = 'g'").count() == 1
+    # admitted rows are exactly the first 4 in (depth, lineage) order
+    lins = sorted(r["lineage"] for r in admitted.filter("host='h'").collect())
+    assert lins == ["00", "01", "02", "03"]
+
+
+def test_schedule_slots_spacing(spark):
+    df = spark.createDataFrame(
+        [("h", 0, f"{i:02d}", 250) for i in range(3)],
+        ["host", "depth", "lineage", "crawl_delay_ms"],
+    )
+    rows = sorted(
+        r["sched_slot_ms"] for r in schedule_slots(df, 100).collect()
+    )
+    assert rows == [0, 250, 500]
+
+
+def test_convert_chain_branches():
+    br = _Breaker()
+    mb = 10 * 1024 * 1024
+    # P9 octet bypass
+    md, conv, _ = convert_bytes(1, "application/octet-stream", b"\x00" * 64, br, mb)
+    assert conv == "bypass" and md.startswith("# Binary Content")
+    # P8 mislabeled pdf -> treated as html
+    md, conv, _ = convert_bytes(2, "application/pdf", b"<html><body>x y z</body></html>", br, mb)
+    assert conv in ("full", "strip")
+    # real pdf
+    md, conv, _ = convert_bytes(3, "application/pdf", b"%PDF-1.4 hello", br, mb)
+    assert conv == "pdf" and "PDF Document" in md
+    # rss titles
+    md, conv, _ = convert_bytes(4, "application/rss+xml", b"<rss><title>t1</title></rss>", br, mb)
+    assert conv == "rss" and "- t1" in md
+    # C2: noscript content removed
+    html = b"<html><main><p>" + b"real content here " * 20 + b"</p></main><noscript>enable javascript</noscript></html>"
+    md, conv, _ = convert_bytes(5, "text/html", html, br, mb)
+    assert "enable javascript" not in md and conv == "main"
+    # C9 containment: garbage image payload yields template, no raise
+    md, conv, _ = convert_bytes(6, "image/jpeg", b"notanimage", br, mb)
+    assert conv == "error" and md.startswith("# Content Conversion Failed")
+    # P10 truncation flag
+    _, _, trunc = convert_bytes(7, "text/html", b"<p>" + b"x" * 100 + b"</p>", br, 50)
+    assert trunc is True
+
+
+def test_kmap_gate_800_chars():
+    import json
+
+    br = _Breaker()
+    mb = 10 * 1024 * 1024
+    long_desc = "D " * 500  # >= 800 chars
+    html = (
+        "<html><script id='embedded-topic' type='application/json'>"
+        + json.dumps({"description": long_desc.strip()})
+        + "</script><main><p>short</p></main></html>"
+    ).encode()
+    md, conv, _ = convert_bytes(8, "text/html", html, br, mb)
+    assert conv == "kmap"
+    short = html.replace(long_desc.strip().encode(), b"tiny")
+    md, conv, _ = convert_bytes(9, "text/html", short, br, mb)
+    assert conv != "kmap"  # gate converter.py:195-204: <800 falls through
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qids = list(range(10))
+    exact = cosine_topk_bruteforce(emb, qids, 5).collect()
+    approx = cosine_topk_lsh(
+        emb, qids, 5, num_planes=4, dim=64, num_tables=8
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # 8-table OR-amplified LSH on random vectors
+
+
+def test_graph_df_builders_match_sql_views(spark):
+    """The engine's DataFrame getters and the oracle's SQL views are the
+    same relations (guards against dialect drift)."""
+    graph.register_graph_views(spark, SF_SMALL)
+    for name in ["g_pages", "g_links", "g_seeds", "g_robots"]:
+        n_view = spark.table(name).count()
+        assert n_view > 0
+    # canon roundtrip: noisy raw urls canonicalize back to the page url
+    bad = spark.sql(
+        f"SELECT count(*) AS n FROM g_links WHERE {graph.canon_sql('raw_url')} <> dst_url"
+    ).collect()[0]["n"]
+    assert bad == 0

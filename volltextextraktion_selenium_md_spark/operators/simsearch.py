@@ -78,43 +78,81 @@ def hyperplane_weight(plane: int, d: int) -> int:
 
 
 def _hyperplane_sign(emb: Column, plane: int, dim: int) -> Column:
-    """Sign bit of the weighted sum against one deterministic plane."""
-    s = F.lit(0.0)
-    for d in range(dim):
-        s = s + F.element_at(emb, d + 1).cast("double") * F.lit(
-            float(hyperplane_weight(plane, d))
-        )
+    """Sign bit of the weighted sum against one deterministic plane.
+
+    The weights enter as ONE literal array + a left fold, not a
+    dim-wide inline expression — an inline sum over 64 dims x many
+    planes overflows janino's 64 KB codegen limit and drops the whole
+    stage to interpreted mode. The fold accumulates left-to-right, the
+    same order as the DuckDB oracle's `e[1]*w1 + e[2]*w2 + ...`."""
+    weights = F.array(
+        *[F.lit(float(hyperplane_weight(plane, d))) for d in range(dim)]
+    )
+    s = F.aggregate(
+        F.zip_with(emb, weights, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (s > 0).cast("int")
 
 
-def lsh_signature(embeddings: DataFrame, num_planes: int = 8, dim: int = 64) -> DataFrame:
-    """Bucket id = concatenated hyperplane sign bits (int in [0, 2^P))."""
-    sig = F.lit(0)
-    for p in range(num_planes):
-        sig = sig * 2 + _hyperplane_sign(F.col("embedding"), p, dim)
-    return embeddings.withColumn("bucket", sig)
+def lsh_banded(
+    embeddings: DataFrame, num_planes: int, dim: int, num_tables: int
+) -> DataFrame:
+    """Long-format multi-table signatures: (vec_id, tbl, bucket).
+
+    OR-amplification: `num_tables` independent hash tables of
+    `num_planes` sign bits each — a near neighbour missed by one table
+    is caught by another (single-table recall on weakly-clustered data
+    is poor; tests measure recall vs brute force). Table t uses the
+    deterministic hyperplanes [t*num_planes, (t+1)*num_planes)."""
+    rows = []
+    for t in range(num_tables):
+        sig = F.lit(0)
+        for p in range(num_planes):
+            sig = sig * 2 + _hyperplane_sign(
+                F.col("embedding"), t * num_planes + p, dim
+            )
+        rows.append(
+            embeddings.select(
+                "*", F.lit(t).alias("tbl"), sig.alias("bucket")
+            )
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    num_planes: int = 6,
+    num_planes: int = 4,
     dim: int = 64,
+    num_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket. Recall measured against the brute-force baseline in tests."""
-    base = lsh_signature(with_norm(embeddings), num_planes, dim)
+    """Approximate top-k: candidates = any-table bucket collision with
+    the query. At 100 TB: the banded table is O(N * L) small rows
+    (vec_id + two ints), the join is equi on (tbl, bucket) — no
+    quadratic stage anywhere."""
+    base = with_norm(embeddings)
+    banded = lsh_banded(base.select("vec_id", "embedding"), num_planes, dim, num_tables)
+    q_banded = banded.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        banded.join(F.broadcast(q_banded), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
-        F.col("bucket").alias("q_bucket"),
     )
-    joined = base.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
+    joined = cand.join(F.broadcast(q), "query_id").join(base, "vec_id")
     cos = F.round(
         _dot(F.col("embedding"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm")), 4
     )
@@ -128,28 +166,42 @@ def cosine_topk_lsh(
 
 
 def cosine_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, num_planes: int = 6, dim: int = 64
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    dim: int = 64,
+    num_tables: int = 4,
 ) -> DataFrame:
-    """Embedding near-dup pairs (cos >= threshold), LSH-bucketed to
-    avoid the quadratic self-join; exact cosine verifies candidates."""
-    base = lsh_signature(with_norm(embeddings), num_planes, dim)
-    pairs = (
-        base.alias("x")
-        .join(base.alias("y"), ["bucket"])
+    """Embedding near-dup pairs (cos >= threshold), multi-table
+    LSH-bucketed to avoid the quadratic self-join; exact cosine
+    verifies candidates."""
+    base = with_norm(embeddings)
+    banded = lsh_banded(base.select("vec_id", "embedding"), num_planes, dim, num_tables)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["tbl", "bucket"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-    )
-    cos = F.round(
-        _dot(F.col("x.embedding"), F.col("y.embedding"))
-        / (F.col("x.norm") * F.col("y.norm")),
-        4,
-    )
-    return (
-        pairs.withColumn("cos", cos)
-        .filter(F.col("cos") >= threshold)
         .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            "cos",
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
         )
         .distinct()
+    )
+    xa = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("norm").alias("n_a"),
+    )
+    xb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("norm").alias("n_b"),
+    )
+    cos = F.round(
+        _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4
+    )
+    return (
+        cand.join(xa, "vec_a").join(xb, "vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
     )

@@ -389,7 +389,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter)
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter), 4)
       >= {Q.JACCARD_T}
 """
 
@@ -515,30 +515,46 @@ FROM (
 """
 
 
-def _bucket_expr(alias: str = "e") -> str:
+def _bucket_expr(table: int, num_planes: int, alias: str = "e") -> str:
+    """Bucket for hash table `table`: planes [t*P, (t+1)*P), mirroring
+    lsh_banded's `sig = sig*2 + bit` accumulation."""
     planes = []
-    for p in range(Q.LSH_PLANES):
+    for p in range(num_planes):
         terms = " + ".join(
-            f"{alias}[{d + 1}] * {float(hyperplane_weight(p, d))}"
+            f"{alias}[{d + 1}] * {float(hyperplane_weight(table * num_planes + p, d))}"
             for d in range(Q.EMB_DIM)
         )
         planes.append(
-            f"CASE WHEN ({terms}) > 0 THEN {1 << (Q.LSH_PLANES - 1 - p)} ELSE 0 END"
+            f"CASE WHEN ({terms}) > 0 THEN {1 << (num_planes - 1 - p)} ELSE 0 END"
         )
     return "(" + " + ".join(planes) + ")"
+
+
+def _banded_cte(num_planes: int, num_tables: int) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, e, n, {t} AS tbl, "
+        f"{_bucket_expr(t, num_planes)} AS bucket FROM norm"
+        for t in range(num_tables)
+    )
 
 
 def sql_cosine_topk_lsh() -> str:
     ids = ", ".join(str(i) for i in Q.COS_QUERY_IDS)
     return f"""
 WITH norm AS ({_NORM_CTE}),
-lshd AS (SELECT vec_id, e, n, {_bucket_expr("e")} AS bucket FROM norm),
-q AS (SELECT vec_id AS query_id, e AS qe, n AS qn, bucket AS q_bucket
-      FROM lshd WHERE vec_id IN ({ids})),
+banded AS ({_banded_cte(Q.LSH_PLANES, Q.LSH_TABLES)}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+  FROM banded b JOIN banded q
+    ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({ids})
+),
 pairs AS (
-  SELECT q.query_id, b.vec_id AS neighbor_id,
-         round(list_inner_product(b.e, q.qe) / (b.n * q.qn), 4) AS cos
-  FROM lshd b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         round(list_inner_product(b.e, q.e) / (b.n * q.n), 4) AS cos
+  FROM cand c
+  JOIN norm b ON b.vec_id = c.vec_id
+  JOIN norm q ON q.vec_id = c.query_id
 )
 SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
 FROM (
@@ -552,11 +568,18 @@ FROM (
 def sql_embedding_near_dup() -> str:
     return f"""
 WITH norm AS ({_NORM_CTE}),
-lshd AS (SELECT vec_id, e, n, {_bucket_expr("e")} AS bucket FROM norm)
-SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
-  round(list_inner_product(x.e, y.e) / (x.n * y.n), 4) AS cos
-FROM lshd x JOIN lshd y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE list_inner_product(x.e, y.e) / (x.n * y.n) >= {Q.NEAR_DUP_T}
+banded AS ({_banded_cte(Q.NEAR_PLANES, Q.NEAR_TABLES)}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM banded x JOIN banded y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+  round(list_inner_product(a.e, b.e) / (a.n * b.n), 4) AS cos
+FROM cand c
+JOIN norm a ON a.vec_id = c.vec_a
+JOIN norm b ON b.vec_id = c.vec_b
+WHERE round(list_inner_product(a.e, b.e) / (a.n * b.n), 4) >= {Q.NEAR_DUP_T}
 """
 
 

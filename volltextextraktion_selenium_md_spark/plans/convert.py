@@ -342,6 +342,11 @@ def convert_stage(fetched: DataFrame, cfg: CrawlConfig | None = None) -> DataFra
                 else:
                     for k in ("image_id", "image_bytes", "w", "h", "fmt", "caption", "phash"):
                         out[k].append(None)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            # mixed None+int columns coerce to float64 and corrupt
+            # 64-bit values — force nullable integer dtypes
+            for k, dt in (("w", "Int32"), ("h", "Int32"), ("phash", "Int64")):
+                res[k] = pd.array(out[k], dtype=dt)
+            yield res
 
     return fetched.select(*_FEATURE_COLS).mapInPandas(run, schema=CONVERT_SCHEMA)

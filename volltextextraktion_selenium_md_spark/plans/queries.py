@@ -41,9 +41,12 @@ LSH_EST_T = 0.25
 SIMHASH_MAX_HAMMING = 3
 COS_QUERY_IDS = list(range(10))
 COS_K = 5
-LSH_PLANES = 6
+LSH_PLANES = 4
+LSH_TABLES = 8
 EMB_DIM = 64
 NEAR_DUP_T = 0.2
+NEAR_PLANES = 6
+NEAR_TABLES = 4
 
 
 def _g(spark: SparkSession, sf_dir: str) -> None:
@@ -340,13 +343,13 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_cosine_topk_lsh(spark, sf_dir):
     return simsearch.cosine_topk_lsh(
-        _embs(spark, sf_dir), COS_QUERY_IDS, COS_K, LSH_PLANES, EMB_DIM
+        _embs(spark, sf_dir), COS_QUERY_IDS, COS_K, LSH_PLANES, EMB_DIM, LSH_TABLES
     )
 
 
 def q_embedding_near_dup(spark, sf_dir):
     return simsearch.cosine_near_dup_pairs(
-        _embs(spark, sf_dir), NEAR_DUP_T, LSH_PLANES, EMB_DIM
+        _embs(spark, sf_dir), NEAR_DUP_T, NEAR_PLANES, EMB_DIM, NEAR_TABLES
     )
 
 
