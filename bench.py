@@ -1,0 +1,118 @@
+"""Headline benchmark (driver contract).
+
+Runs the flagship crawl engine plus representative operators at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1,
+     "fetch_decisions_per_sec": ..., "decisions": ...}
+
+The north-rule metric is frontier fetch-decisions/sec, reported in the
+extra ``fetch_decisions_per_sec`` key (the flagship crawl: depth-6 BFS
+with an open politeness budget, i.e. the engine saturated with work
+rather than throttled by the per-host budget — politeness is still
+enforced via robots + crawl-delay slots). The reference's implied
+ceiling is ~4-8 pages/s (BASELINE.md: 8 concurrent / 1-2 s per page).
+
+Scaling evidence (local[8] vs local[32]) is produced separately by
+``scripts/bench_scaling.py`` and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from volltextextraktion_selenium_md_spark.config import CrawlConfig
+from volltextextraktion_selenium_md_spark.plans import queries as Q
+from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
+from volltextextraktion_selenium_md_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# politeness-saturating flagship config: deep BFS, open host budget —
+# measures engine throughput, not the budget throttle
+FLAGSHIP_CFG = CrawlConfig(max_depth=6, host_budget_per_round=1_000_000, max_rounds=10)
+
+
+def _materialize(df) -> int:
+    """Force full computation of every column (noop sink, no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JVM/Arrow/codegen init on a trivial action
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: saturated crawl (north-rule metric) -----------------
+    t0 = time.time()
+    res = CrawlEngine(
+        spark, SF_DIR, cfg=FLAGSHIP_CFG, collect_round_counts=False
+    ).run()
+    decisions = res.fetch_log.filter(F.col("outcome") != "blocked").count()
+    dt = time.time() - t0
+    timings["crawl_saturated_e2e"] = round(dt, 3)
+    extras["decisions"] = decisions
+    extras["fetch_decisions_per_sec"] = round(decisions / dt, 1)
+    extras["crawl_rounds"] = res.rounds
+
+    # --- politeness-constrained crawl (golden-replay config) -----------
+    t0 = time.time()
+    res2 = CrawlEngine(spark, SF_DIR, collect_round_counts=False).run()
+    d2 = res2.fetch_log.filter(F.col("outcome") != "blocked").count()
+    timings["crawl_replay_cfg"] = round(time.time() - t0, 3)
+    extras["replay_cfg_decisions"] = d2
+
+    # --- representative operator suite ---------------------------------
+    suite = [
+        "crawl_bfs_d1",
+        "link_classification",
+        "strategy_classifier",
+        "dedup_exact",
+        "token_stats",
+        "lang_quality",
+        "minhash_lsh_pairs",
+        "simhash_dup_pairs",
+        "ngram_jaccard",
+        "cosine_topk",
+        "cosine_topk_lsh",
+        "embedding_near_dup",
+    ]
+    qmap = {
+        name: getattr(Q, f"q_{name}")
+        for name in suite
+    }
+    for name, fn in qmap.items():
+        t0 = time.time()
+        _materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall time (flagship crawl + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

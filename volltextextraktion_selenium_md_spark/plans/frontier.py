@@ -113,11 +113,13 @@ class CrawlEngine:
         use_bloom: bool = False,
         with_convert: bool = False,
         num_partitions: int | None = None,
+        collect_round_counts: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.use_bloom = use_bloom
         self.with_convert = with_convert
+        self.collect_round_counts = collect_round_counts
         self.num_partitions = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
@@ -135,7 +137,11 @@ class CrawlEngine:
         round_counts: list[dict] = []
 
         rnd = 0
-        while rnd < cfg.max_rounds and frontier.limit(1).count() > 0:
+        # one count per round doubles as the loop-exit test AND the seen-
+        # cardinality input for bloom sizing — no extra driver actions
+        n_frontier = frontier.count()
+        n_seen = n_frontier
+        while rnd < cfg.max_rounds and n_frontier > 0:
             allowed, blocked = robots_split(frontier, self.robots)
             admitted, deferred = host_budget_split(allowed, cfg.host_budget_per_round)
             admitted = schedule_slots(admitted, cfg.default_crawl_delay_ms)
@@ -216,8 +222,7 @@ class CrawlEngine:
 
             bloom = None
             if self.use_bloom:
-                n = max(seen.count(), 1024)
-                bloom = seen_ops.build_bloom(seen, n_items=n * 2)
+                bloom = seen_ops.build_bloom(seen, n_items=max(n_seen, 1024) * 2)
             unseen = seen_ops.filter_unseen(children, seen, bloom)
 
             frontier = (
@@ -227,13 +232,19 @@ class CrawlEngine:
                 .localCheckpoint()
             )
             seen = seen.unionByName(unseen.select("url", "h1", "h2")).localCheckpoint()
+            n_frontier = frontier.count()
 
-            counts = {
-                r["outcome"]: r["n"]
-                for r in logs[-1].groupBy("outcome").agg(F.count("*").alias("n")).collect()
-            }
-            counts["round"] = rnd
-            round_counts.append(counts)
+            if self.collect_round_counts:
+                counts = {
+                    r["outcome"]: r["n"]
+                    for r in logs[-1].groupBy("outcome").agg(F.count("*").alias("n")).collect()
+                }
+                counts["round"] = rnd
+                counts["frontier_next"] = n_frontier
+                round_counts.append(counts)
+            # cheap upper bound is enough for bloom sizing (deferred and
+            # retry rows double-count; the bloom is just slightly larger)
+            n_seen = n_seen + n_frontier
             rnd += 1
 
         fetch_log = logs[0]
