@@ -32,6 +32,12 @@ class CrawlConfig:
     # [1 KiB, 100 MiB], app/schemas.py:156-169)
     max_bytes: int = 10 * 1024 * 1024
 
+    # payload-size multiplier for minted bodies (1 = oracle-checked
+    # test scale; scale benchmarks raise it so per-page convert cost is
+    # web-realistic — real pages are tens of KB, real images hundreds
+    # of KB, the reference pays SECONDS per page [README.md:223])
+    payload_scale: int = 1
+
     # strategy thresholds (reference app/preflight.py:119-124 and the
     # looser second-chance cut at app/main.py:343-349)
     http_only_text_len: int = 800

@@ -180,6 +180,116 @@ def register_graph_views(spark: SparkSession, sf_dir: str) -> None:
         spark.sql(body).createOrReplaceTempView(name)
 
 
+# ---------------------------------------------------------------------------
+# graph mirroring: R disjoint deterministic copies of the web (distinct
+# URL space per mirror) for scale benchmarks. Pure DataFrame transform —
+# no new data files; the driver parquet stays the single source. Mirror
+# m rewrites 'hostH.example.com' -> 'hostH.m{m}.example.com' and offsets
+# page ids by m * id_span, so the engine crawls an R× larger web with
+# identical semantics per mirror.
+# ---------------------------------------------------------------------------
+
+def _mirrors_col(R: int):
+    from pyspark.sql import functions as F
+
+    return F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("mirror")
+
+
+def insert_mirror(col, mir_col):
+    """'...X.example.com...' -> '...X.m{m}.example.com...'. Case-
+    insensitive split so the uppercase raw-url noise class stays intact
+    (the canonicalizer lowercases scheme+host downstream anyway)."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(col, r"(?i)\.example\.com", 2)
+    return F.concat(
+        parts.getItem(0),
+        F.lit(".m"), mir_col.cast("string"),
+        F.lit(".example.com"),
+        parts.getItem(1),
+    )
+
+
+def _rewrite_host_str(col):
+    from pyspark.sql import functions as F
+
+    return insert_mirror(col, F.col("mirror"))
+
+
+def mirror_pages(pages_df: DataFrame, R: int, id_span: int) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    off = (F.col("mirror").cast("long") * id_span)
+    return pages_df.select("*", _mirrors_col(R)).select(
+        (F.col("page_id") + off).alias("page_id"),
+        _rewrite_host_str(F.col("host")).alias("host"),
+        _rewrite_host_str(F.col("url")).alias("url"),
+        "status",
+        _rewrite_host_str(F.col("final_url")).alias("final_url"),
+        "content_type", "text_len", "has_main", "spa_mark",
+        "js_required", "consent", "bot_wall", "rss_link", "youtube",
+    )
+
+
+def mirror_links(links_df: DataFrame, R: int, id_span: int) -> DataFrame:
+    """Mirrors link rows; raw-url noise classes (g_links CASE) are
+    re-derived from the mirrored dst_url so class-2's UPPERCASE noise
+    stays well-formed."""
+    from pyspark.sql import functions as F
+
+    off = (F.col("mirror").cast("long") * id_span)
+    m = links_df.select("*", _mirrors_col(R))
+    dst_url = _rewrite_host_str(F.col("dst_url"))
+    noise = (
+        F.when(F.col("dst_page_id") % 4 == 0, F.concat(dst_url, F.lit("#frag")))
+        .when(F.col("dst_page_id") % 4 == 1, F.concat(dst_url, F.lit("/")))
+        .when(
+            F.col("dst_page_id") % 4 == 2,
+            F.concat(
+                F.upper(F.split(dst_url, "/page/", 2).getItem(0)),
+                F.lit("/page/"),
+                F.split(dst_url, "/page/", 2).getItem(1),
+            ),
+        )
+        .otherwise(dst_url)
+    )
+    return m.select(
+        (F.col("src_page_id") + off).alias("src_page_id"),
+        "doc_pos",
+        (F.col("dst_page_id") + off).alias("dst_page_id"),
+        dst_url.alias("dst_url"),
+        _rewrite_host_str(F.col("dst_host")).alias("dst_host"),
+        "text",
+        noise.alias("raw_url"),
+    )
+
+
+def mirror_seeds(seeds_df: DataFrame, R: int, id_span: int) -> DataFrame:
+    """seed_idx' = seed_idx * R + mirror interleaves mirrors in seed
+    order (fair politeness across mirrors)."""
+    from pyspark.sql import functions as F
+
+    off = (F.col("mirror").cast("long") * id_span)
+    return seeds_df.select("*", _mirrors_col(R)).select(
+        (F.col("seed_idx") * R + F.col("mirror")).alias("seed_idx"),
+        "priority",
+        (F.col("dst_page_id") + off).alias("dst_page_id"),
+        _rewrite_host_str(F.col("raw_url")).alias("raw_url"),
+        _rewrite_host_str(F.col("url")).alias("url"),
+        _rewrite_host_str(F.col("host")).alias("host"),
+    )
+
+
+def mirror_robots(robots_df: DataFrame, R: int) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return robots_df.select("*", _mirrors_col(R)).select(
+        _rewrite_host_str(F.col("host")).alias("host"),
+        "disallow_prefix",
+        "crawl_delay_ms",
+    )
+
+
 def pages(spark: SparkSession) -> DataFrame:
     return spark.table("g_pages")
 

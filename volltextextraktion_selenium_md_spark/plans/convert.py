@@ -65,22 +65,25 @@ def _body_text(page_id: int, text_len: int) -> str:
     return " ".join(words)[:text_len]
 
 
-def mint_payload(row: dict) -> bytes:
+def mint_payload(row: dict, scale: int = 1) -> bytes:
     """Deterministic response body for a page row (feature-faithful:
-    the HTML embeds exactly the markers the preflight features claim)."""
+    the HTML embeds exactly the markers the preflight features claim).
+    `scale` multiplies body/image size toward web-realistic payloads
+    (CrawlConfig.payload_scale); 1 is the oracle-checked test scale."""
     pid = int(row["page_id"])
     ctype = row["content_type"]
     if ctype.startswith("image/"):
-        return codec.encode(codec.synth_image(pid), "jpeg")
+        s = max(int(scale ** 0.5), 1)
+        return codec.encode(codec.synth_image(pid, w=24 * s, h=16 * s), "jpeg")
     if ctype.startswith("application/pdf"):
         if pid % 20 == 16:  # mislabeled-PDF guard case (P8)
             return b"<html><body>not actually a pdf</body></html>"
-        return b"%PDF-1.4 " + _body_text(pid, 200).encode()
+        return b"%PDF-1.4 " + _body_text(pid, 200 * scale).encode()
     if ctype.startswith("application/octet-stream"):
         return bytes([pid % 256]) * 64
     if ctype.startswith("application/rss"):
         items = "".join(
-            f"<item><title>entry {pid}-{i}</title></item>" for i in range(3)
+            f"<item><title>entry {pid}-{i}</title></item>" for i in range(3 * scale)
         )
         return f"<rss><channel><title>feed {pid}</title>{items}</channel></rss>".encode()
 
@@ -93,11 +96,11 @@ def mint_payload(row: dict) -> bytes:
     if row.get("consent"):
         parts.append("<div class='consent'>cookie consent: accept</div>")
     if pid % 31 == 0:  # KMap embedded-topic page (C3)
-        topic = {"description": f"Topic {pid} description " + _body_text(pid, 900)}
+        topic = {"description": f"Topic {pid} description " + _body_text(pid, 900 * scale)}
         parts.append(
             f"<script id='embedded-topic' type='application/json'>{json.dumps(topic)}</script>"
         )
-    body = _body_text(pid, int(row["text_len"]))
+    body = _body_text(pid, int(row["text_len"]) * scale)
     if row.get("has_main"):
         parts.append(f"<main><h1>Page {pid}</h1><p>{body}</p></main>")
     else:
@@ -310,10 +313,20 @@ _FEATURE_COLS = [
 ]
 
 
-def convert_stage(fetched: DataFrame, cfg: CrawlConfig | None = None) -> DataFrame:
-    """mapInPandas convert pass over fetched rows (outcome='fetched')."""
+def convert_stage(
+    fetched: DataFrame,
+    cfg: CrawlConfig | None = None,
+    emit_markdown: bool = True,
+) -> DataFrame:
+    """mapInPandas convert pass over fetched rows (outcome='fetched').
+
+    emit_markdown=False keeps the conversion work (the markdown is fully
+    computed — its length is emitted) but skips shipping the body
+    through Arrow; benchmark sink-lean mode."""
     cfg = cfg or CrawlConfig()
     max_bytes = cfg.max_bytes
+
+    scale = cfg.payload_scale
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         breaker = _Breaker()
@@ -322,11 +335,11 @@ def convert_stage(fetched: DataFrame, cfg: CrawlConfig | None = None) -> DataFra
             for row in pdf.to_dict("records"):
                 pid = int(row["page_id"])
                 ctype = row["content_type"]
-                payload = mint_payload(row)
+                payload = mint_payload(row, scale)
                 md, conv, trunc = convert_bytes(pid, ctype, payload, breaker, max_bytes)
                 out["url"].append(row["url"])
                 out["page_id"].append(pid)
-                out["markdown"].append(md)
+                out["markdown"].append(md if emit_markdown else "")
                 out["markdown_length"].append(len(md))
                 out["converter_used"].append(conv)
                 out["truncated"].append(trunc)

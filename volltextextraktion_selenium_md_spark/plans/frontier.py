@@ -50,7 +50,6 @@ from volltextextraktion_selenium_md_spark.operators.dedup import first_seen
 from volltextextraktion_selenium_md_spark.operators.politeness import (
     host_budget_split,
     robots_split,
-    salted_repartition,
     schedule_slots,
 )
 from volltextextraktion_selenium_md_spark.plans.convert import convert_stage
@@ -64,6 +63,9 @@ LOG_COLS = [
     "strategy", "elapsed_ms",
 ]
 
+# feature columns the convert stage needs from fetched rows
+CONVERT_FEATURES = ["text_len", "has_main", "spa_mark", "js_required", "consent"]
+
 
 @dataclass
 class CrawlResult:
@@ -75,6 +77,39 @@ class CrawlResult:
     round_counts: list[dict] = field(default_factory=list)
 
 
+def global_ordinal(
+    df: DataFrame, order_cols: list[str], num_partitions: int, out: str = "ordinal"
+) -> DataFrame:
+    """Distributed total-order ordinal: range-partition on the sort key,
+    sort within partitions, then add per-partition offsets (the
+    zipWithIndex pattern) — no single-partition window, so the final
+    ordering step scales with the data. The sort key must be a total
+    order (here (round, depth, lineage) is unique per row)."""
+    cols = [F.col(c) for c in order_cols]
+    s = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in s.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return df.withColumn(out, F.lit(None).cast("int"))
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return s.withColumn(
+        out, (F.row_number().over(w) + omap[F.col("_pid")]).cast("int")
+    ).drop("_pid")
+
+
 def _pad6(col):
     return F.lpad(col.cast("string"), 6, "0")
 
@@ -83,11 +118,11 @@ def _pad2(col):
     return F.lpad(col.cast("string"), 2, "0")
 
 
-def init_frontier(spark: SparkSession) -> DataFrame:
+def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> DataFrame:
     """Seed rows -> canonical frontier (depth 0), first-seen deduped in
     seed order (reference's per-page order-preserving dedup semantics,
     app/utils.py:48-55, applied to the seed list)."""
-    seeds = graph.seeds(spark).select(
+    seeds = (seeds_df if seeds_df is not None else graph.seeds(spark)).select(
         canonicalize_url(F.col("raw_url")).alias("url"),
         F.col("seed_idx"),
         F.col("priority"),
@@ -114,12 +149,24 @@ class CrawlEngine:
         with_convert: bool = False,
         num_partitions: int | None = None,
         collect_round_counts: bool = True,
+        mirrors: int = 1,
+        eager_fetch_checkpoint: bool = True,
+        emit_markdown: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.use_bloom = use_bloom
         self.with_convert = with_convert
         self.collect_round_counts = collect_round_counts
+        self.seen_compact_every = 4
+        # True: materialize each round's fetch output (single-pass; the
+        # default). False: keep it lazy — consumers (log, retries,
+        # children, convert) recompute the cheap co-partitioned fetch
+        # join, trading ~2x fetch-join CPU for zero per-round cache
+        # writes; the end-of-run log/convert recomputes run as ONE
+        # parallel job across all rounds (better under high parallelism)
+        self.eager_fetch_checkpoint = eager_fetch_checkpoint
+        self.emit_markdown = emit_markdown
         self.num_partitions = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
@@ -127,10 +174,55 @@ class CrawlEngine:
         self.pages = graph.pages(spark)
         self.robots = graph.robots(spark)
         self.links = graph.links(spark)
+        self.seeds = graph.seeds(spark)
+        self.mirrors = mirrors
+        self.span = 0
+        if mirrors > 1:
+            # R disjoint copies of the web (scale benchmarks): identical
+            # engine, R× the URL space. pages/seeds/robots mirror
+            # eagerly (joined on url each round -> cached mirrored);
+            # links mirror LATE — the base table is cached small and
+            # the mirror rewrite happens after the parents join, so
+            # per-round string work is O(children), not O(R × links)
+            self.span = self.pages.agg(F.max("page_id")).first()[0] + 1
+            self.pages = graph.mirror_pages(self.pages, mirrors, self.span)
+            self.seeds = graph.mirror_seeds(self.seeds, mirrors, self.span)
+            self.robots = graph.mirror_robots(self.robots, mirrors)
+
+    def _children_links(self, parents: DataFrame) -> DataFrame:
+        """parents (src_page_id in mirrored id space) x links -> child
+        link rows in mirrored URL space."""
+        if self.mirrors == 1:
+            return parents.join(self.links, on="src_page_id")
+        mir = (F.col("src_page_id") / self.span).cast("long").alias("_mir")
+        orig = (F.col("src_page_id") % self.span).alias("src_page_id")
+        j = parents.select(
+            *[c for c in parents.columns if c != "src_page_id"], mir, orig
+        ).join(self.links, on="src_page_id")
+        return j.select(
+            *[c for c in parents.columns if c != "src_page_id"],
+            (F.col("src_page_id") + F.col("_mir") * self.span).alias("src_page_id"),
+            "doc_pos",
+            (F.col("dst_page_id") + F.col("_mir") * self.span).alias("dst_page_id"),
+            graph.insert_mirror(F.col("dst_url"), F.col("_mir")).alias("dst_url"),
+            graph.insert_mirror(F.col("dst_host"), F.col("_mir")).alias("dst_host"),
+            "text",
+            graph.insert_mirror(F.col("raw_url"), F.col("_mir")).alias("raw_url"),
+        )
 
     def run(self) -> CrawlResult:
         cfg = self.cfg
-        frontier = seen_ops.with_hashes(init_frontier(self.spark)).localCheckpoint()
+        # pages/links are temp-view-backed (window + explode under the
+        # hood); persist once so rounds don't re-derive them — the
+        # lakehouse-table analogue at 10^10 scale. pages is persisted
+        # hash-partitioned on the fetch-join key, so each round's fetch
+        # join shuffles ONLY the (much smaller) frontier side — the
+        # co-located-join pattern (bucketed table at lakehouse scale)
+        self.pages = self.pages.repartition(self.num_partitions, "url").persist()
+        self.links = self.links.persist()
+        frontier = seen_ops.with_hashes(
+            init_frontier(self.spark, self.seeds)
+        ).localCheckpoint()
         seen = frontier.select("url", "h1", "h2").localCheckpoint()
         logs: list[DataFrame] = []
         payloads: list[DataFrame] = []
@@ -145,9 +237,22 @@ class CrawlEngine:
             allowed, blocked = robots_split(frontier, self.robots)
             admitted, deferred = host_budget_split(allowed, cfg.host_budget_per_round)
             admitted = schedule_slots(admitted, cfg.default_crawl_delay_ms)
-            admitted = salted_repartition(admitted, self.num_partitions)
+            # NOTE: the live-fetch (mapInPandas) path salts hot hosts
+            # across partitions here (salted_repartition); the simulated
+            # fetch is a url-equi join whose output partitioning is
+            # already uniform in the join key, so no extra shuffle.
 
-            fetched = simulated_fetch(admitted, self.pages, cfg).localCheckpoint()
+            keep = list(
+                dict.fromkeys(
+                    LOG_COLS[1:] + ["page_status", "priority", "h1", "h2"]
+                    + (CONVERT_FEATURES if self.with_convert else [])
+                )
+            )
+            fetched = simulated_fetch(admitted, self.pages, cfg).select(
+                *[c for c in keep if c != "status_code"]
+            )
+            if self.eager_fetch_checkpoint:
+                fetched = fetched.localCheckpoint()
 
             log = fetched.select(
                 F.lit(rnd).alias("round"),
@@ -173,7 +278,7 @@ class CrawlEngine:
 
             if self.with_convert:
                 ok = fetched.filter(F.col("outcome") == "fetched")
-                conv = convert_stage(ok, cfg)
+                conv = convert_stage(ok, cfg, emit_markdown=self.emit_markdown)
                 payloads.append(
                     conv.filter(F.col("image_id").isNotNull()).select(
                         "image_id",
@@ -207,7 +312,7 @@ class CrawlEngine:
                 F.col("priority").alias("p_priority"),
             )
             children = (
-                parents.join(self.links, on="src_page_id")
+                self._children_links(parents)
                 .select(
                     canonicalize_url(F.col("raw_url")).alias("url"),
                     F.col("dst_host").alias("host"),
@@ -223,15 +328,26 @@ class CrawlEngine:
             bloom = None
             if self.use_bloom:
                 bloom = seen_ops.build_bloom(seen, n_items=max(n_seen, 1024) * 2)
-            unseen = seen_ops.filter_unseen(children, seen, bloom)
+            # lazy checkpoints truncate lineage without extra jobs: the
+            # single frontier count below materializes unseen AND the
+            # new frontier in one job; seen then reuses the stored
+            # unseen partitions
+            unseen = seen_ops.filter_unseen(children, seen, bloom).localCheckpoint(
+                eager=False
+            )
 
             frontier = (
                 deferred.select(*FRONTIER_COLS, "h1", "h2")
                 .unionByName(retries)
                 .unionByName(unseen.select(*FRONTIER_COLS, "h1", "h2"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            seen = seen.unionByName(unseen.select("url", "h1", "h2")).localCheckpoint()
+            seen = seen.unionByName(unseen.select("url", "h1", "h2"))
+            if (rnd + 1) % self.seen_compact_every == 0:
+                # periodic compaction bounds the union fan-in of the
+                # seen relation (at 10^10 scale this is the lakehouse
+                # seen-table MERGE; locally a checkpoint rewrite)
+                seen = seen.localCheckpoint()
             n_frontier = frontier.count()
 
             if self.collect_round_counts:
@@ -250,13 +366,13 @@ class CrawlEngine:
         fetch_log = logs[0]
         for df in logs[1:]:
             fetch_log = fetch_log.unionByName(df)
-        # global crawl-order ordinal. Single-partition window is fine at
-        # sandbox scale; at 10^10 this becomes a range-partitioned sort +
-        # per-partition offset (zipWithIndex pattern) — the ORDER is the
-        # contract, the ordinal is bookkeeping.
+        # global crawl-order ordinal via range-partitioned sort +
+        # per-partition offsets — distributed; the ORDER (round, depth,
+        # lineage) is the replay contract, the ordinal is bookkeeping.
         decisions = fetch_log.filter(F.col("outcome") != "blocked")
-        w = Window.orderBy("round", "depth", "lineage")
-        ordered = decisions.withColumn("ordinal", F.row_number().over(w))
+        ordered = global_ordinal(
+            decisions, ["round", "depth", "lineage"], self.num_partitions
+        )
         full_log = ordered.unionByName(
             fetch_log.filter(F.col("outcome") == "blocked").withColumn(
                 "ordinal", F.lit(None).cast("int")
@@ -272,6 +388,13 @@ class CrawlEngine:
             payload_df = payloads[0]
             for df in payloads[1:]:
                 payload_df = payload_df.unionByName(df)
+
+        if self.eager_fetch_checkpoint:
+            # every returned DataFrame bottoms out in localCheckpoints,
+            # so the cached graph tables can be released; in lazy mode
+            # the returned plans still read them — caller owns cleanup
+            self.pages.unpersist()
+            self.links.unpersist()
 
         return CrawlResult(
             fetch_log=full_log,
