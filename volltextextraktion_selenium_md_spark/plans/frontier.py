@@ -34,10 +34,16 @@ Scale notes (10^10-URL design point):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from volltextextraktion_selenium_md_spark.sources.lakehouse import (
+    SnapshotStore,
+    merge_into,
+)
 
 from volltextextraktion_selenium_md_spark import graph
 from volltextextraktion_selenium_md_spark.config import CrawlConfig
@@ -60,7 +66,7 @@ FRONTIER_COLS = ["url", "host", "depth", "lineage", "priority", "attempt", "roun
 LOG_COLS = [
     "round", "url", "host", "depth", "lineage", "attempt", "outcome",
     "page_id", "status_code", "final_url", "redirected", "content_type",
-    "strategy", "elapsed_ms",
+    "strategy", "elapsed_ms", "partition_id",
 ]
 
 # feature columns the convert stage needs from fetched rows
@@ -75,6 +81,7 @@ class CrawlResult:
     payloads: DataFrame | None    # image+caption rows (input_hint shape)
     rounds: int = 0
     round_counts: list[dict] = field(default_factory=list)
+    partition_metrics: DataFrame | None = None  # per (round, partition) lineage
 
 
 def global_ordinal(
@@ -152,6 +159,8 @@ class CrawlEngine:
         mirrors: int = 1,
         eager_fetch_checkpoint: bool = True,
         emit_markdown: bool = True,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -167,6 +176,15 @@ class CrawlEngine:
         # parallel job across all rounds (better under high parallelism)
         self.eager_fetch_checkpoint = eager_fetch_checkpoint
         self.emit_markdown = emit_markdown
+        # lakehouse snapshot checkpointing (SURVEY §7 M6): commit
+        # frontier/seen/log each K rounds + MERGE payloads INTO the
+        # payload table; a new engine on the same dir resumes from the
+        # latest published snapshot
+        self.store = SnapshotStore(checkpoint_dir) if checkpoint_dir else None
+        self.checkpoint_every = checkpoint_every
+        self.payload_table = (
+            os.path.join(checkpoint_dir, "payload_table") if checkpoint_dir else None
+        )
         self.num_partitions = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
@@ -220,19 +238,31 @@ class CrawlEngine:
         # co-located-join pattern (bucketed table at lakehouse scale)
         self.pages = self.pages.repartition(self.num_partitions, "url").persist()
         self.links = self.links.persist()
-        frontier = seen_ops.with_hashes(
-            init_frontier(self.spark, self.seeds)
-        ).localCheckpoint()
-        seen = frontier.select("url", "h1", "h2").localCheckpoint()
         logs: list[DataFrame] = []
         payloads: list[DataFrame] = []
         round_counts: list[dict] = []
 
         rnd = 0
+        if self.store is not None and self.store.latest() is not None:
+            # resume from the latest published snapshot: frontier, seen,
+            # cumulative log and filter state restore exactly; rounds
+            # continue from where the previous process died
+            man = self.store.manifest()
+            rnd = man["meta"]["round"] + 1
+            frontier = self.store.read(self.spark, "frontier").localCheckpoint()
+            seen = self.store.read(self.spark, "seen").localCheckpoint()
+            logs = [self.store.read(self.spark, "fetch_log").localCheckpoint()]
+            n_seen = man["meta"].get("n_seen_hint", 1024)
+        else:
+            frontier = seen_ops.with_hashes(
+                init_frontier(self.spark, self.seeds)
+            ).localCheckpoint()
+            seen = frontier.select("url", "h1", "h2").localCheckpoint()
+            n_seen = 0
         # one count per round doubles as the loop-exit test AND the seen-
         # cardinality input for bloom sizing — no extra driver actions
         n_frontier = frontier.count()
-        n_seen = n_frontier
+        n_seen = n_seen or n_frontier
         while rnd < cfg.max_rounds and n_frontier > 0:
             allowed, blocked = robots_split(frontier, self.robots)
             admitted, deferred = host_budget_split(allowed, cfg.host_budget_per_round)
@@ -248,8 +278,12 @@ class CrawlEngine:
                     + (CONVERT_FEATURES if self.with_convert else [])
                 )
             )
-            fetched = simulated_fetch(admitted, self.pages, cfg).select(
-                *[c for c in keep if c != "status_code"]
+            fetched = (
+                simulated_fetch(admitted, self.pages, cfg)
+                .select(*[c for c in keep if c not in ("status_code", "partition_id")])
+                # per-partition lineage: which physical partition carried
+                # the row through the fetch stage (north-rule metrics)
+                .withColumn("partition_id", F.spark_partition_id())
             )
             if self.eager_fetch_checkpoint:
                 fetched = fetched.localCheckpoint()
@@ -260,7 +294,7 @@ class CrawlEngine:
                 "page_id",
                 F.col("page_status").alias("status_code"),
                 "final_url", "redirected", "content_type", "strategy",
-                "elapsed_ms",
+                "elapsed_ms", "partition_id",
             )
             blocked_log = blocked.select(
                 F.lit(rnd).alias("round"),
@@ -273,19 +307,25 @@ class CrawlEngine:
                 F.lit(None).cast("string").alias("content_type"),
                 F.lit(None).cast("string").alias("strategy"),
                 F.lit(None).cast("int").alias("elapsed_ms"),
+                F.lit(None).cast("int").alias("partition_id"),
             )
             logs.append(log.select(*LOG_COLS).unionByName(blocked_log.select(*LOG_COLS)))
 
             if self.with_convert:
                 ok = fetched.filter(F.col("outcome") == "fetched")
                 conv = convert_stage(ok, cfg, emit_markdown=self.emit_markdown)
-                payloads.append(
-                    conv.filter(F.col("image_id").isNotNull()).select(
-                        "image_id",
-                        F.col("image_bytes").alias("bytes"),
-                        "w", "h", "fmt", "caption", "phash",
-                    )
+                batch = conv.filter(F.col("image_id").isNotNull()).select(
+                    "image_id",
+                    F.col("image_bytes").alias("bytes"),
+                    "w", "h", "fmt", "caption", "phash",
                 )
+                if self.payload_table is not None:
+                    # land this round's image+caption rows in the payload
+                    # table: Iceberg `MERGE INTO payload USING batch ON
+                    # image_id` (north rule input_hint shape)
+                    merge_into(self.spark, self.payload_table, batch, "image_id")
+                else:
+                    payloads.append(batch)
 
             # retry re-queue (F8): failed-retryable rows flow into the
             # next round with attempt+1 — backoff becomes a schedule
@@ -350,7 +390,19 @@ class CrawlEngine:
                 seen = seen.localCheckpoint()
             n_frontier = frontier.count()
 
-            if self.collect_round_counts:
+            if self.store is not None and (rnd + 1) % self.checkpoint_every == 0:
+                cum_log = logs[0]
+                for df in logs[1:]:
+                    cum_log = cum_log.unionByName(df)
+                blobs = {}
+                if self.use_bloom and bloom is not None:
+                    blobs["seen_bloom"] = bloom.to_bytes()
+                self.store.commit(
+                    {"frontier": frontier, "seen": seen, "fetch_log": cum_log},
+                    meta={"round": rnd, "n_frontier": n_frontier,
+                          "n_seen_hint": n_seen + n_frontier},
+                    blobs=blobs,
+                )
                 counts = {
                     r["outcome"]: r["n"]
                     for r in logs[-1].groupBy("outcome").agg(F.count("*").alias("n")).collect()
@@ -382,9 +434,19 @@ class CrawlEngine:
         metrics = (
             full_log.groupBy("round", "outcome").agg(F.count("*").alias("n"))
         )
+        partition_metrics = (
+            full_log.groupBy("round", "partition_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("outcome") == "fetched", 1).otherwise(0)).alias("n_fetched"),
+                F.sum(F.when(F.col("outcome") == "retry", 1).otherwise(0)).alias("n_retry"),
+            )
+        )
 
         payload_df = None
-        if payloads:
+        if self.payload_table is not None and os.path.exists(self.payload_table):
+            payload_df = self.spark.read.parquet(self.payload_table)
+        elif payloads:
             payload_df = payloads[0]
             for df in payloads[1:]:
                 payload_df = payload_df.unionByName(df)
@@ -403,4 +465,5 @@ class CrawlEngine:
             payloads=payload_df,
             rounds=rnd,
             round_counts=round_counts,
+            partition_metrics=partition_metrics,
         )
