@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_classification": Q.q_link_classification,
         "strategy_classifier": Q.q_strategy_classifier,
         "error_page_detect": Q.q_error_page_detect,
+        "error_page_html": Q.q_error_page_html,
+        "proxy_normalize": Q.q_proxy_normalize,
+        "media_policy": Q.q_media_policy,
+        "converter_route": Q.q_converter_route,
         "redirect_flag": Q.q_redirect_flag,
         "mime_to_ext": Q.q_mime_to_ext,
         "ua_rotation": Q.q_ua_rotation,
@@ -69,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end engine (rows-only; exactness via golden replay test)
         "crawl_full": Q.q_crawl_full,
         "crawl_metrics": Q.q_crawl_metrics,
+        "crawl_partition_metrics": Q.q_crawl_partition_metrics,
         "payload_table": Q.q_payload_table,
     }
 

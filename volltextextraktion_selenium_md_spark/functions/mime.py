@@ -71,6 +71,41 @@ def normalize_proxy(proxy: Column) -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
+def media_policy_markdown(
+    content_type: Column, policy: Column, n_bytes: Column
+) -> Column:
+    """C6 media policy (app/converter.py:155-158, 253-282): audio/video
+    rows render per the request's media_conversion_policy —
+    skip -> placeholder, none -> '', metadata -> metadata block (the
+    reference shells out to ffprobe; the engine emits the known fields
+    deterministically), full -> transcription placeholder (markitdown's
+    media path is out of engine scope). Non-media rows -> NULL."""
+    ct = F.lower(F.trim(F.split_part(content_type, F.lit(";"), F.lit(1))))
+    is_media = ct.startswith("audio/") | ct.startswith("video/")
+    meta_block = F.concat(
+        F.lit('# Media Metadata\n\n```json\n{"content_type": "'),
+        ct,
+        F.lit('", "size_bytes": '),
+        n_bytes.cast("string"),
+        F.lit("}\n```"),
+    )
+    skip_block = F.concat(
+        F.lit("# Media Content\n\n[media content skipped: "), ct, F.lit("]")
+    )
+    full_block = F.concat(
+        F.lit("# Media Content\n\n[media transcription not available: "),
+        ct,
+        F.lit("]"),
+    )
+    return (
+        F.when(~is_media, F.lit(None).cast("string"))
+        .when(policy == "none", F.lit(""))
+        .when(policy == "metadata", meta_block)
+        .when(policy == "full", full_block)
+        .otherwise(skip_block)  # 'skip' is the reference default
+    )
+
+
 def truncate_payload(payload: Column, max_bytes: int) -> tuple[Column, Column]:
     """max_bytes byte-budget cut + truncated flag
     (app/http_fetcher.py:71-79). Returns (bytes_col, truncated_col)."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from volltextextraktion_selenium_md_spark.functions.classify import (
     DOWNLOAD_EXTS,
+    ERROR_HINTS_HTML,
     ERROR_HINTS_MD,
     NAV_TEXTS,
     SOCIAL_DOMAINS,
@@ -305,6 +306,93 @@ def sql_internal_links() -> str:
 SELECT l.src_page_id, l.doc_pos, l.dst_url AS url,
        (p.host = l.dst_host) AS internal
 FROM g_links l JOIN g_pages p ON p.page_id = l.src_page_id
+"""
+    )
+
+
+def sql_proxy_normalize() -> str:
+    schemes = ", ".join(f"'{s}'" for s in ("http", "https", "socks5", "socks5h", "socks4"))
+    return (
+        _with({"proxy_cases": Q.PROXY_CASES_BODY})
+        + f"""
+SELECT page_id, proxy,
+  CASE
+    WHEN trim(proxy) = '' OR lower(trim(proxy)) = 'string' THEN NULL
+    WHEN lower(split_part(trim(proxy), '://', 1)) IN ({schemes}) THEN trim(proxy)
+    ELSE NULL
+  END AS proxy_norm
+FROM proxy_cases
+"""
+    )
+
+
+def sql_media_policy() -> str:
+    ct = "lower(trim(split_part(content_type, ';', 1)))"
+    return (
+        _with({"media_cases": Q.MEDIA_CASES_BODY})
+        + f"""
+SELECT page_id, content_type, policy,
+  CASE
+    WHEN NOT ({ct} LIKE 'audio/%' OR {ct} LIKE 'video/%') THEN NULL
+    WHEN policy = 'none' THEN ''
+    WHEN policy = 'metadata' THEN
+      '# Media Metadata' || chr(10) || chr(10) || '```json' || chr(10)
+      || '{{"content_type": "' || {ct} || '", "size_bytes": '
+      || CAST(n_bytes AS STRING) || '}}' || chr(10) || '```'
+    WHEN policy = 'full' THEN
+      '# Media Content' || chr(10) || chr(10)
+      || '[media transcription not available: ' || {ct} || ']'
+    ELSE '# Media Content' || chr(10) || chr(10)
+      || '[media content skipped: ' || {ct} || ']'
+  END AS media_md
+FROM media_cases
+"""
+    )
+
+
+def sql_error_page_html() -> str:
+    likes = " OR ".join(
+        "lower(html) LIKE '%" + h.replace("'", "''") + "%'"
+        for h in ERROR_HINTS_HTML
+    )
+    return (
+        _with({"error_html_cases": Q.ERROR_HTML_CASES_BODY})
+        + f"""
+SELECT page_id, html, ({likes}) AS error_detected
+FROM error_html_cases
+"""
+    )
+
+
+def sql_converter_route() -> str:
+    """Re-derives convert_stage's converter tier from the deterministic
+    payload-mint rules (plans/convert.py:mint_payload + convert_bytes):
+    image/octet/pdf/rss route on content type; the mislabeled-PDF page
+    (page_id%20=16, P8) falls into the html chain; kmap wins on the
+    embedded-topic pages (page_id%31=0, C3, desc always >=800 chars);
+    'main' needs <main> present and the extracted text
+    ('# Page {{id}}' + blank line + body) to reach 80 chars; everything
+    else lands in 'full' (the <title> text keeps tier 2 non-empty, so
+    tier-3 'strip' is unreachable on this corpus)."""
+    main_len = (
+        "7 + length(CAST(page_id AS STRING)) + "
+        "CASE WHEN text_len > 0 THEN 2 + text_len ELSE 0 END"
+    )
+    return (
+        _with({})
+        + f"""
+SELECT page_id,
+  CASE
+    WHEN content_type LIKE 'image/%' THEN 'image'
+    WHEN content_type LIKE 'application/octet-stream%' THEN 'bypass'
+    WHEN content_type LIKE 'application/pdf%' AND page_id % 20 <> 16 THEN 'pdf'
+    WHEN content_type LIKE 'application/rss%' THEN 'rss'
+    WHEN content_type LIKE 'application/pdf%' THEN 'full'
+    WHEN page_id % 31 = 0 THEN 'kmap'
+    WHEN has_main AND ({main_len}) >= 80 THEN 'main'
+    ELSE 'full'
+  END AS converter_used
+FROM g_pages
 """
     )
 
@@ -603,6 +691,10 @@ def build_oracles() -> dict[str, str]:
         "link_classification": sql_link_classification(),
         "strategy_classifier": sql_strategy_classifier(),
         "error_page_detect": sql_error_page_detect(),
+        "error_page_html": sql_error_page_html(),
+        "proxy_normalize": sql_proxy_normalize(),
+        "media_policy": sql_media_policy(),
+        "converter_route": sql_converter_route(),
         "redirect_flag": sql_redirect_flag(),
         "mime_to_ext": sql_mime_to_ext(),
         "truncate_text": sql_truncate_text(),

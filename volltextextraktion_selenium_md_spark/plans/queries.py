@@ -280,6 +280,61 @@ def q_internal_links(spark, sf_dir):
     )
 
 
+def q_proxy_normalize(spark, sf_dir):
+    """P1 proxy normalizer (app/utils.py:184-198) over minted cases."""
+    _g(spark, sf_dir)
+    cases = spark.sql(PROXY_CASES_BODY)
+    return cases.select(
+        "page_id",
+        "proxy",
+        mime.normalize_proxy(F.col("proxy")).alias("proxy_norm"),
+    )
+
+
+def q_media_policy(spark, sf_dir):
+    """C6 media policy (app/converter.py:253-282) over minted
+    audio/video cases x the 4 policies."""
+    _g(spark, sf_dir)
+    cases = spark.sql(MEDIA_CASES_BODY)
+    return cases.select(
+        "page_id",
+        "content_type",
+        "policy",
+        mime.media_policy_markdown(
+            F.col("content_type"), F.col("policy"), F.col("n_bytes")
+        ).alias("media_md"),
+    )
+
+
+def q_error_page_html(spark, sf_dir):
+    """P6 second variant: the JS-path raw-HTML error detector
+    (app/js_fetcher.py:645-686) — larger pattern list, no status."""
+    _g(spark, sf_dir)
+    cases = spark.sql(ERROR_HTML_CASES_BODY)
+    return cases.select(
+        "page_id",
+        "html",
+        classify.error_page_detected_html(F.col("html")).alias("error_detected"),
+    )
+
+
+def q_converter_route(spark, sf_dir):
+    """C1 conversion-chain routing (app/converter.py:117-342): run the
+    REAL convert stage (payload mint + decode + 3-tier extract inside
+    mapInPandas) over every page and emit which converter tier produced
+    the markdown; the oracle re-derives the tier from the deterministic
+    payload rules in pure SQL."""
+    from volltextextraktion_selenium_md_spark.plans.convert import convert_stage
+
+    _g(spark, sf_dir)
+    rows = graph.pages(spark).select(
+        "url", "page_id", "content_type", "text_len", "has_main",
+        "spa_mark", "js_required", "consent",
+    )
+    out = convert_stage(rows, CrawlConfig())
+    return out.select("page_id", "converter_used")
+
+
 # --- training-data pipeline: dedup family ------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -367,6 +422,14 @@ def q_crawl_metrics(spark, sf_dir):
     return res.metrics
 
 
+def q_crawl_partition_metrics(spark, sf_dir):
+    """Per-partition lineage/metrics (north rule): which physical
+    partition carried each decision, per round. Rows-only (partition
+    assignment is an execution detail, not SQL semantics)."""
+    res = CrawlEngine(spark, sf_dir).run()
+    return res.partition_metrics
+
+
 def q_payload_table(spark, sf_dir):
     res = CrawlEngine(spark, sf_dir, with_convert=True).run()
     assert res.payloads is not None
@@ -392,6 +455,48 @@ SELECT
        WHEN dst_page_id % 11 = 1 THEN '  TOP '
        ELSE text END AS text
 FROM (SELECT DISTINCT dst_page_id, dst_url, text FROM g_links)
+"""
+
+PROXY_CASES_BODY = """
+SELECT
+  page_id,
+  CASE page_id % 8
+    WHEN 0 THEN ''
+    WHEN 1 THEN 'string'
+    WHEN 2 THEN 'http://proxy.example.com:8080'
+    WHEN 3 THEN 'socks5://10.0.0.1:1080'
+    WHEN 4 THEN 'socks5h://resolver:1080'
+    WHEN 5 THEN 'ftp://not-a-proxy:21'
+    WHEN 6 THEN 'no-scheme-at-all:9999'
+    ELSE '  https://padded.example.com:443  ' END AS proxy
+FROM g_pages
+"""
+
+MEDIA_CASES_BODY = """
+SELECT
+  page_id,
+  CASE WHEN page_id % 2 = 0 THEN 'audio/mpeg' ELSE 'video/mp4; codecs=avc1' END
+    AS content_type,
+  CASE page_id % 5
+    WHEN 0 THEN 'skip' WHEN 1 THEN 'none' WHEN 2 THEN 'metadata'
+    WHEN 3 THEN 'full' ELSE 'skip' END AS policy,
+  CAST(page_id * 731 % 9999999 AS BIGINT) AS n_bytes
+FROM g_pages
+"""
+
+ERROR_HTML_CASES_BODY = """
+SELECT
+  page_id,
+  CASE page_id % 8
+    WHEN 0 THEN '<html><body>Verifying you are human ...</body></html>'
+    WHEN 1 THEN '<html><body>Die Seite wurde nicht gefunden.</body></html>'
+    WHEN 2 THEN '<div>Bot protection: security check in progress</div>'
+    WHEN 3 THEN '<p>Please enable JavaScript to continue</p>'
+    WHEN 4 THEN '<main>A normal article about fish migration</main>'
+    WHEN 5 THEN '<body>LOADING...</body>'
+    WHEN 6 THEN '<body>internal error occurred on the server</body>'
+    ELSE '<article>Regular content, nothing suspicious here</article>' END AS html
+FROM g_pages
 """
 
 ERROR_CASES_BODY = """
