@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
         "simhash": Q.q_simhash,
         "simhash_dup_pairs": Q.q_simhash_dup_pairs,
+        # streaming monitor (batch twins; stream==batch in tests)
+        "event_rate_windows": Q.q_event_rate_windows,
+        "sessionize": Q.q_sessionize,
         # training-data pipeline: similarity search
         "cosine_topk": Q.q_cosine_topk,
         "cosine_topk_lsh": Q.q_cosine_topk_lsh,

@@ -397,6 +397,42 @@ FROM g_pages
     )
 
 
+def sql_event_rate_windows() -> str:
+    # Spark window('1 hour') tumbling windows are epoch-aligned, which
+    # for whole hours equals date_trunc('hour', ts)
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sql_sessionize() -> str:
+    from volltextextraktion_selenium_md_spark.streaming.monitor import SESSION_GAP_MIN
+
+    gap_s = SESSION_GAP_MIN * 60
+    return f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+            > {gap_s}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT *, CAST(sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS INTEGER) AS session_idx
+  FROM lagged
+)
+SELECT user_id, session_idx, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
 # --- training-data pipeline oracles -------------------------------------------
 
 _FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
@@ -695,6 +731,8 @@ def build_oracles() -> dict[str, str]:
         "proxy_normalize": sql_proxy_normalize(),
         "media_policy": sql_media_policy(),
         "converter_route": sql_converter_route(),
+        "event_rate_windows": sql_event_rate_windows(),
+        "sessionize": sql_sessionize(),
         "redirect_flag": sql_redirect_flag(),
         "mime_to_ext": sql_mime_to_ext(),
         "truncate_text": sql_truncate_text(),

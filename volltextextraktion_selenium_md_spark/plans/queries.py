@@ -335,6 +335,28 @@ def q_converter_route(spark, sf_dir):
     return out.select("page_id", "converter_used")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_event_rate_windows(spark, sf_dir):
+    """Tumbling-window per-type event rates — the batch twin of the
+    streaming monitor (streaming/monitor.py); stream==batch equality is
+    asserted in tests/test_streaming.py."""
+    from volltextextraktion_selenium_md_spark.streaming.monitor import (
+        event_rate_windows,
+    )
+
+    return event_rate_windows(_events(spark, sf_dir))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based per-user sessionization (30-min gap)."""
+    from volltextextraktion_selenium_md_spark.streaming.monitor import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
 # --- training-data pipeline: dedup family ------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
