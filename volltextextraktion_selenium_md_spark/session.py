@@ -46,6 +46,11 @@ def get_spark(
         # shuffle service lean and deterministic
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # default 10k-row columnar cache batches allocate multi-MB arrays
+        # per column -> G1 humongous-allocation storms once many task
+        # threads build cache concurrently (measured 3x cache-build
+        # slowdown at 32 threads); 2k keeps allocations region-sized
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
