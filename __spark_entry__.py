@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frontier / engine steps (SURVEY §2.3, §2.5)
         "frontier_init": Q.q_frontier_init,
         "canonicalize_urls": Q.q_canonicalize_urls,
+        "absolutize_links": Q.q_absolutize_links,
+        "surt_form": Q.q_surt_form,
         "seen_anti_join": Q.q_seen_anti_join,
         "link_explode": Q.q_link_explode,
         "robots_filter": Q.q_robots_filter,

@@ -310,6 +310,45 @@ FROM g_links l JOIN g_pages p ON p.page_id = l.src_page_id
     )
 
 
+def sql_absolutize_links() -> str:
+    # urljoin re-derived per minted href class. Base urls are
+    # 'https://hostH[.mM].example.com/page/ID' (no trailing slash), so:
+    #  rooted  -> origin + href
+    #  relative-> directory of base ('/page/') + href
+    #  parent  -> '../' resolves the 'page' dir away, then re-enters it
+    #  query   -> base + ?q=...     fragment -> base + #...
+    origin = "split_part(base_url, '/page/', 1)"
+    return (
+        _with({"href_cases": Q.HREF_CASES_BODY})
+        + f"""
+SELECT case_id, base_url, href,
+  CASE case_id % 6
+    WHEN 0 THEN {origin} || href
+    WHEN 1 THEN {origin} || '/page/' || href
+    WHEN 2 THEN {origin} || '/page/' || CAST((case_id + 2) AS STRING)
+    WHEN 3 THEN base_url || href
+    WHEN 4 THEN base_url || href
+    ELSE href
+  END AS abs_url
+FROM href_cases
+"""
+    )
+
+
+def sql_surt_form() -> str:
+    # hosts are exactly 'hostH.example.com' at mirrors=1; canonical form
+    # keeps the path, drops nothing else for these urls
+    return (
+        _with({})
+        + """
+SELECT page_id, url,
+  'com,example,' || split_part(split_part(url, '//', 2), '.', 1)
+  || ')/page/' || split_part(url, '/page/', 2) AS surt
+FROM g_pages
+"""
+    )
+
+
 def sql_proxy_normalize() -> str:
     schemes = ", ".join(f"'{s}'" for s in ("http", "https", "socks5", "socks5h", "socks4"))
     return (
@@ -728,6 +767,8 @@ def build_oracles() -> dict[str, str]:
         "strategy_classifier": sql_strategy_classifier(),
         "error_page_detect": sql_error_page_detect(),
         "error_page_html": sql_error_page_html(),
+        "absolutize_links": sql_absolutize_links(),
+        "surt_form": sql_surt_form(),
         "proxy_normalize": sql_proxy_normalize(),
         "media_policy": sql_media_policy(),
         "converter_route": sql_converter_route(),

@@ -280,6 +280,33 @@ def q_internal_links(spark, sf_dir):
     )
 
 
+def q_absolutize_links(spark, sf_dir):
+    """F1 link absolutization (app/utils.py:46): urljoin(base, href) for
+    every relative-href shape (rooted, relative, parent, query-only,
+    fragment-only, absolute) via the Arrow-vectorized url_join UDF."""
+    from volltextextraktion_selenium_md_spark.functions.urls import url_join
+
+    _g(spark, sf_dir)
+    cases = spark.sql(HREF_CASES_BODY)
+    return cases.select(
+        "case_id",
+        "base_url",
+        "href",
+        url_join(F.col("base_url"), F.col("href")).alias("abs_url"),
+    )
+
+
+def q_surt_form(spark, sf_dir):
+    """F4 SURT form of the canonical URL (sort-friendly reversed-host),
+    the prefix-ordered storage key for the 10^10-URL seen table."""
+    from volltextextraktion_selenium_md_spark.functions.urls import surt_url
+
+    _g(spark, sf_dir)
+    return graph.pages(spark).select(
+        "page_id", "url", surt_url(F.col("url")).alias("surt")
+    )
+
+
 def q_proxy_normalize(spark, sf_dir):
     """P1 proxy normalizer (app/utils.py:184-198) over minted cases."""
     _g(spark, sf_dir)
@@ -477,6 +504,20 @@ SELECT
        WHEN dst_page_id % 11 = 1 THEN '  TOP '
        ELSE text END AS text
 FROM (SELECT DISTINCT dst_page_id, dst_url, text FROM g_links)
+"""
+
+HREF_CASES_BODY = """
+SELECT
+  page_id AS case_id,
+  url AS base_url,
+  CASE page_id % 6
+    WHEN 0 THEN '/about/team'
+    WHEN 1 THEN 'page/' || CAST((page_id + 1) AS STRING)
+    WHEN 2 THEN '../page/' || CAST((page_id + 2) AS STRING)
+    WHEN 3 THEN '?q=' || CAST(page_id AS STRING)
+    WHEN 4 THEN '#section-2'
+    ELSE 'https://other.example.org/x/' || CAST(page_id AS STRING) END AS href
+FROM g_pages
 """
 
 PROXY_CASES_BODY = """
