@@ -126,3 +126,29 @@ def test_graph_df_builders_match_sql_views(spark):
         f"SELECT count(*) AS n FROM g_links WHERE {graph.canon_sql('raw_url')} <> dst_url"
     ).collect()[0]["n"]
     assert bad == 0
+
+
+def test_ua_rotation_deterministic_golden_pairs(spark):
+    """P2: UA 'rotation' is hash-seeded (pool index = xxhash64(url) mod
+    pool size, functions/mime.py) — replay-stable, unlike the
+    reference's random.choice (app/utils.py:215). Golden pairs pin the
+    mapping permanently; a second evaluation must agree."""
+    from volltextextraktion_selenium_md_spark.functions.mime import (
+        UA_POOL,
+        pick_user_agent,
+    )
+
+    golden = {
+        "https://host0.example.com/page/1": 3,
+        "https://host1.example.com/page/2": 1,
+        "https://host7.example.com/page/300": 0,
+        "https://host42.example.com/a?b=c": 0,
+        "https://example.org/": 3,
+    }
+    df = spark.createDataFrame([(u,) for u in golden], ["url"]).select(
+        "url", pick_user_agent(F.col("url")).alias("ua")
+    )
+    got = {r["url"]: UA_POOL.index(r["ua"]) for r in df.collect()}
+    assert got == golden
+    got2 = {r["url"]: UA_POOL.index(r["ua"]) for r in df.collect()}
+    assert got2 == golden

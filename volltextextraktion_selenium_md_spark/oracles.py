@@ -166,12 +166,15 @@ SELECT url, host, lineage FROM (
 
 
 def sql_retry_requeue() -> str:
+    from volltextextraktion_selenium_md_spark.config import CrawlConfig
+
+    statuses = ", ".join(str(s) for s in CrawlConfig().retryable_statuses)
     return (
-        _with({"f_init": F_INIT})
-        + """
-SELECT f.url, CAST(1 AS INTEGER) AS attempt
-FROM f_init f JOIN g_pages p ON p.url = f.url
-WHERE p.status IN (500, 502, 503, 504)
+        _with({"f_init": F_INIT, "d1": D1_CAND})
+        + f"""
+SELECT d.url, CAST(1 AS INTEGER) AS attempt
+FROM d1 d JOIN g_pages p ON p.url = d.url
+WHERE p.status IN ({statuses})
 """
     )
 
@@ -357,7 +360,9 @@ def sql_proxy_normalize() -> str:
 SELECT page_id, proxy,
   CASE
     WHEN trim(proxy) = '' OR lower(trim(proxy)) = 'string' THEN NULL
-    WHEN lower(split_part(trim(proxy), '://', 1)) IN ({schemes}) THEN trim(proxy)
+    WHEN trim(proxy) LIKE '%://%'
+         AND lower(split_part(trim(proxy), '://', 1)) IN ({schemes})
+      THEN trim(proxy)
     ELSE NULL
   END AS proxy_norm
 FROM proxy_cases

@@ -403,6 +403,9 @@ class CrawlEngine:
                           "n_seen_hint": n_seen + n_frontier},
                     blobs=blobs,
                 )
+            if self.collect_round_counts:
+                # one extra driver action per round; benches pass
+                # collect_round_counts=False to skip it
                 counts = {
                     r["outcome"]: r["n"]
                     for r in logs[-1].groupBy("outcome").agg(F.count("*").alias("n")).collect()

@@ -165,10 +165,14 @@ def q_host_budget_topk(spark, sf_dir):
 
 
 def q_retry_requeue(spark, sf_dir):
+    """F8 retry re-queue (app/http_fetcher.py:64-83): retryable-status
+    rows flow into the next round with attempt+1. Seeded from the
+    depth-1 candidate frontier (seeds alone land on no retryable page
+    at sf0.001 — the oracle would be vacuous)."""
     _g(spark, sf_dir)
     cfg = CrawlConfig()
-    f0 = init_frontier(spark).withColumn("attempt", F.lit(0))
-    joined = f0.join(graph.pages(spark).select("url", "status"), on="url", how="left")
+    d1 = _depth1_candidates(spark).withColumn("attempt", F.lit(0))
+    joined = d1.join(graph.pages(spark).select("url", "status"), on="url", how="left")
     retry = joined.filter(
         F.col("status").isin(list(cfg.retryable_statuses)) & (F.col("attempt") < cfg.retries)
     )
@@ -185,8 +189,12 @@ def q_crawl_bfs_d1(spark, sf_dir):
         "url", "depth", "lineage"
     )
     both = f0.unionByName(d1_new)
-    w = Window.orderBy("depth", "lineage")
-    return both.withColumn("ordinal", F.row_number().over(w))
+    # distributed total-order ordinal (same primitive the engine uses) —
+    # no single-partition global window in the driver contract
+    from volltextextraktion_selenium_md_spark.plans.frontier import global_ordinal
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return global_ordinal(both, ["depth", "lineage"], nparts)
 
 
 # --- scalar cascades ---------------------------------------------------------
@@ -523,7 +531,7 @@ FROM g_pages
 PROXY_CASES_BODY = """
 SELECT
   page_id,
-  CASE page_id % 8
+  CASE page_id % 9
     WHEN 0 THEN ''
     WHEN 1 THEN 'string'
     WHEN 2 THEN 'http://proxy.example.com:8080'
@@ -531,6 +539,7 @@ SELECT
     WHEN 4 THEN 'socks5h://resolver:1080'
     WHEN 5 THEN 'ftp://not-a-proxy:21'
     WHEN 6 THEN 'no-scheme-at-all:9999'
+    WHEN 7 THEN 'socks5'
     ELSE '  https://padded.example.com:443  ' END AS proxy
 FROM g_pages
 """

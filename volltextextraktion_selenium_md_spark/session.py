@@ -17,6 +17,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Portable default: ~40% of physical RAM, clamped to [4g, 48g].
+    The 128 GiB sandbox lands on 48g (the tuned bench value); small
+    hosts get a JVM that actually starts. SPARK_DRIVER_MEMORY overrides."""
+    try:
+        avail_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+        return f"{max(4, min(48, int(avail_gb * 0.4)))}g"
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+
+
 def get_spark(
     app_name: str = "volltextextraktion-selenium-md-spark",
     master: str | None = None,
@@ -39,7 +50,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # crawl frontiers produce many small iterative stages; keep the
