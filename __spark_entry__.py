@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scalar cascades (SURVEY §2.2)
         "link_classification": Q.q_link_classification,
         "strategy_classifier": Q.q_strategy_classifier,
+        "preflight_features": Q.q_preflight_features,
+        "fetch_route": Q.q_fetch_route,
         "error_page_detect": Q.q_error_page_detect,
         "error_page_html": Q.q_error_page_html,
         "proxy_normalize": Q.q_proxy_normalize,

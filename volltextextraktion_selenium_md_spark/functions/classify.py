@@ -81,9 +81,13 @@ def classify_strategy(
     bot_wall: Column,
     rss_link: Column,
     youtube: Column,
+    http_only_text_len: int = 800,
+    js_light_thin_text_len: int = 500,
 ) -> Column:
-    """P4 cascade. Thresholds 800/500 from ``preflight.py:119-122``;
-    ctype guards from ``preflight.py:66-87`` run before feature rules."""
+    """P4 cascade. Threshold defaults 800/500 from
+    ``preflight.py:119-122`` (overridable via CrawlConfig so the config
+    layer actually drives the decision); ctype guards from
+    ``preflight.py:66-87`` run before feature rules."""
     ctype = F.lower(F.coalesce(content_type, F.lit("")))
     return (
         F.when(
@@ -99,22 +103,61 @@ def classify_strategy(
         .when(youtube, "YOUTUBE")
         .when(rss_link, "RSS")
         .when(
-            (text_len >= 800)
+            (text_len >= http_only_text_len)
             & (has_main | ~spa_mark)
             & ~js_required
             & ~consent,
             "HTTP_ONLY",
         )
         .when(
-            (spa_mark | (has_main & (text_len < 500)) | js_required | consent)
+            (spa_mark | (has_main & (text_len < js_light_thin_text_len))
+             | js_required | consent)
             & consent,
             "JS_LIGHT_CONSENT",
         )
         .when(
-            spa_mark | (has_main & (text_len < 500)) | js_required | consent,
+            spa_mark | (has_main & (text_len < js_light_thin_text_len))
+            | js_required | consent,
             "JS_LIGHT",
         )
         .otherwise("HTTP_THEN_JS")
+    )
+
+
+# --- auto-mode fetch routing (reference app/main.py:315-371) -----------------
+
+PREFLIGHT_SERVE_STRATEGIES = ("PDF", "RSS", "HTTP_ONLY", "YOUTUBE")
+
+
+def route_fetch(
+    mode: Column,
+    strategy: Column,
+    text_len: Column,
+    second_chance_text_len: int = 700,
+) -> Column:
+    """Which fetcher serves the bytes — the reference's mode dispatch:
+
+    - ``fast``  -> httpx directly (``main.py:315-324``)
+    - ``js``    -> Selenium directly (``main.py:374-391``)
+    - ``auto``  -> preflight, then (``main.py:334-371``):
+        * strategy in {PDF, RSS, HTTP_ONLY, YOUTUBE} -> serve the
+          preflight's own bytes, no second fetch (``main.py:334-340``)
+        * HTTP_THEN_JS and text_len >= 700 -> serve preflight HTML —
+          the SECOND-CHANCE cut, deliberately looser than preflight's
+          own >=800 HTTP_ONLY cut (``main.py:343-349`` vs
+          ``preflight.py:119``)
+        * else (JS_LIGHT, JS_LIGHT_CONSENT, thin HTTP_THEN_JS,
+          BLOCKED) -> Selenium refetch (``main.py:351-371``)
+    """
+    return (
+        F.when(mode == "fast", "httpx")
+        .when(mode == "js", "selenium")
+        .when(strategy.isin(*PREFLIGHT_SERVE_STRATEGIES), "preflight_bytes")
+        .when(
+            (strategy == "HTTP_THEN_JS") & (text_len >= second_chance_text_len),
+            "preflight_bytes",
+        )
+        .otherwise("selenium")
     )
 
 

@@ -225,7 +225,13 @@ FROM link_cases
     )
 
 
-_STRATEGY_CASE = """
+def _strategy_case() -> str:
+    # thresholds interpolated from the SAME CrawlConfig the Spark side
+    # reads (http_only 800, js-light thin 500 — preflight.py:119-122)
+    from volltextextraktion_selenium_md_spark.config import CrawlConfig
+
+    cfg = CrawlConfig()
+    return f"""
 CASE
   WHEN lower(content_type) LIKE 'application/pdf%'
        OR lower(final_url) LIKE '%.pdf' THEN 'PDF'
@@ -234,11 +240,13 @@ CASE
   WHEN bot_wall THEN 'BLOCKED'
   WHEN youtube THEN 'YOUTUBE'
   WHEN rss_link THEN 'RSS'
-  WHEN text_len >= 800 AND (has_main OR NOT spa_mark)
+  WHEN text_len >= {cfg.http_only_text_len} AND (has_main OR NOT spa_mark)
        AND NOT js_required AND NOT consent THEN 'HTTP_ONLY'
-  WHEN (spa_mark OR (has_main AND text_len < 500) OR js_required OR consent)
+  WHEN (spa_mark OR (has_main AND text_len < {cfg.js_light_thin_text_len})
+        OR js_required OR consent)
        AND consent THEN 'JS_LIGHT_CONSENT'
-  WHEN spa_mark OR (has_main AND text_len < 500) OR js_required OR consent
+  WHEN spa_mark OR (has_main AND text_len < {cfg.js_light_thin_text_len})
+       OR js_required OR consent
        THEN 'JS_LIGHT'
   ELSE 'HTTP_THEN_JS'
 END
@@ -246,7 +254,66 @@ END
 
 
 def sql_strategy_classifier() -> str:
-    return _with({}) + f"\nSELECT page_id, {_STRATEGY_CASE} AS strategy FROM g_pages"
+    return _with({}) + f"\nSELECT page_id, {_strategy_case()} AS strategy FROM g_pages"
+
+
+def sql_preflight_features() -> str:
+    """Expected features for every minted html page: the boolean bits
+    are the g_pages columns themselves (the mint embeds exactly those
+    markers); text_len is the deterministic visible-text length of the
+    mint — title ('page {id}') always leads, every further chunk adds
+    its length + 1 separator: bot-wall div 30, consent div 22, <main>
+    heading ('Page {id}'), body text_len, table block 19 (id%37=0),
+    math line 24 (id%41=0). Script/style/noscript text is invisible."""
+    pid_len = "length(CAST(page_id AS STRING))"
+    return (
+        _with({})
+        + f"""
+SELECT page_id,
+  CAST( (5 + {pid_len})
+    + CASE WHEN bot_wall THEN 31 ELSE 0 END
+    + CASE WHEN consent THEN 23 ELSE 0 END
+    + CASE WHEN has_main THEN 6 + {pid_len} ELSE 0 END
+    + CASE WHEN text_len > 0 THEN text_len + 1 ELSE 0 END
+    + CASE WHEN page_id % 37 = 0 THEN 20 ELSE 0 END
+    + CASE WHEN page_id % 41 = 0 THEN 25 ELSE 0 END AS INTEGER) AS text_len,
+  has_main, spa_mark, js_required, consent, bot_wall, rss_link
+FROM g_pages
+WHERE content_type LIKE 'text/html%'
+"""
+    )
+
+
+def sql_fetch_route() -> str:
+    from volltextextraktion_selenium_md_spark.config import CrawlConfig
+
+    cfg = CrawlConfig()
+    serve = ", ".join(f"'{s}'" for s in ("PDF", "RSS", "HTTP_ONLY", "YOUTUBE"))
+    return (
+        _with({"mode_cases": Q.MODE_CASES_BODY})
+        + f"""
+, routed AS (
+  SELECT m.page_id, m.mode,
+         CASE WHEN m.mode = 'auto' THEN {_strategy_case()} END AS strategy,
+         text_len
+  FROM mode_cases m JOIN g_pages p ON p.page_id = m.page_id
+)
+SELECT page_id, mode, strategy,
+  CASE
+    WHEN mode = 'fast' THEN 'httpx'
+    WHEN mode = 'js' THEN 'selenium'
+    WHEN strategy IN ({serve}) THEN 'preflight_bytes'
+    WHEN strategy = 'HTTP_THEN_JS'
+         AND text_len >= {cfg.second_chance_text_len} THEN 'preflight_bytes'
+    ELSE 'selenium'
+  END AS route,
+  (mode = 'auto' AND
+   NOT (strategy IN ({serve})
+        OR (strategy = 'HTTP_THEN_JS'
+            AND text_len >= {cfg.second_chance_text_len}))) AS second_fetch
+FROM routed
+"""
+    )
 
 
 def sql_error_page_detect() -> str:
@@ -770,6 +837,8 @@ def build_oracles() -> dict[str, str]:
         "crawl_bfs_d1": sql_crawl_bfs_d1(),
         "link_classification": sql_link_classification(),
         "strategy_classifier": sql_strategy_classifier(),
+        "preflight_features": sql_preflight_features(),
+        "fetch_route": sql_fetch_route(),
         "error_page_detect": sql_error_page_detect(),
         "error_page_html": sql_error_page_html(),
         "absolutize_links": sql_absolutize_links(),

@@ -55,14 +55,20 @@ _WORDS = [
 
 def _body_text(page_id: int, text_len: int) -> str:
     words = []
-    total = 0
+    total = 0  # join length + 1 (each word contributes len+separator)
     i = 0
-    while total < text_len:
+    while total <= text_len:  # stop only once the JOIN reaches text_len
         w = _WORDS[(page_id + i * 7) % len(_WORDS)]
         words.append(w)
         total += len(w) + 1
         i += 1
-    return " ".join(words)[:text_len]
+    body = " ".join(words)[:text_len] if text_len > 0 else ""
+    # never end on a space: the preflight feature extractor measures
+    # whitespace-collapsed visible text, so a sliced trailing space
+    # would shift text_len by one (length is preserved)
+    if body.endswith(" "):
+        body = body[:-1] + "x"
+    return body
 
 
 def mint_payload(row: dict, scale: int = 1) -> bytes:
@@ -87,8 +93,17 @@ def mint_payload(row: dict, scale: int = 1) -> bytes:
         )
         return f"<rss><channel><title>feed {pid}</title>{items}</channel></rss>".encode()
 
-    # text/html
-    parts = ["<html><head><title>page %d</title></head><body>" % pid]
+    # text/html — the page embeds EXACTLY the markers its preflight
+    # feature bits claim (P5 closed loop: functions/features.py
+    # re-derives every bit from these bytes; reference markers from
+    # app/preflight.py:99-110)
+    head = "<head><title>page %d</title>" % pid
+    if row.get("rss_link"):
+        head += "<link rel='alternate' type='application/rss+xml' href='/feed'>"
+    head += "</head>"
+    parts = ["<html>" + head + "<body>"]
+    if row.get("bot_wall"):
+        parts.append("<div class='wall'>Attention Required! cloudflare</div>")
     if row.get("spa_mark"):
         parts.append("<script>window.__NEXT_DATA__={}</script>")
     if row.get("js_required"):
@@ -309,7 +324,7 @@ CONVERT_SCHEMA = T.StructType([
 
 _FEATURE_COLS = [
     "url", "page_id", "content_type", "text_len", "has_main",
-    "spa_mark", "js_required", "consent",
+    "spa_mark", "js_required", "consent", "bot_wall", "rss_link",
 ]
 
 

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from volltextextraktion_selenium_md_spark.config import CrawlConfig
-from volltextextraktion_selenium_md_spark.functions.classify import classify_strategy
+from volltextextraktion_selenium_md_spark.functions.classify import (
+    classify_strategy,
+    route_fetch,
+)
 from volltextextraktion_selenium_md_spark.functions.mime import pick_user_agent
 from volltextextraktion_selenium_md_spark.functions.urls import redirect_flag
 
@@ -53,6 +56,15 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         F.col("text_len"), F.col("has_main"), F.col("spa_mark"),
         F.col("js_required"), F.col("consent"), F.col("bot_wall"),
         F.col("rss_link"), F.col("youtube"),
+        http_only_text_len=cfg.http_only_text_len,
+        js_light_thin_text_len=cfg.js_light_thin_text_len,
+    )
+    # auto-mode routing (main.py:334-371): the engine crawls in 'auto'
+    # mode — preflight always runs; the route decides whether its bytes
+    # are served or Selenium refetches (second-chance cut at 700)
+    route = route_fetch(
+        F.lit("auto"), strategy, F.col("text_len"),
+        second_chance_text_len=cfg.second_chance_text_len,
     )
 
     retryable = F.col("page_status").isin(list(cfg.retryable_statuses))
@@ -66,13 +78,20 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
 
     # cost model: strategy latency midpoints (README.md:223,362-363) +
     # the politeness slot offset; replaces wall-clock with a
-    # deterministic charge so throughput is measurable and replayable
+    # deterministic charge so throughput is measurable and replayable.
+    # A second-chance miss (HTTP_THEN_JS routed to Selenium) pays the
+    # JS refetch on top of the preflight it already ran (main.py:351-371)
     cost = F.lit(None).cast("int")
     for strat, ms in cfg.cost_ms.items():
         cost = F.when(strategy == strat, ms).otherwise(cost)
+    cost = F.when(
+        (strategy == "HTTP_THEN_JS") & (route == "selenium"),
+        cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"],
+    ).otherwise(cost)
 
     return (
         joined.withColumn("strategy", F.when(F.col("page_id").isNotNull(), strategy))
+        .withColumn("route", F.when(F.col("page_id").isNotNull(), route))
         .withColumn("outcome", outcome)
         .withColumn("user_agent", pick_user_agent(F.col("url")))
         .withColumn(

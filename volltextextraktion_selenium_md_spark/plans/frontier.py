@@ -66,11 +66,14 @@ FRONTIER_COLS = ["url", "host", "depth", "lineage", "priority", "attempt", "roun
 LOG_COLS = [
     "round", "url", "host", "depth", "lineage", "attempt", "outcome",
     "page_id", "status_code", "final_url", "redirected", "content_type",
-    "strategy", "elapsed_ms", "partition_id",
+    "strategy", "route", "elapsed_ms", "partition_id",
 ]
 
 # feature columns the convert stage needs from fetched rows
-CONVERT_FEATURES = ["text_len", "has_main", "spa_mark", "js_required", "consent"]
+CONVERT_FEATURES = [
+    "text_len", "has_main", "spa_mark", "js_required", "consent",
+    "bot_wall", "rss_link",
+]
 
 
 @dataclass
@@ -294,7 +297,7 @@ class CrawlEngine:
                 "page_id",
                 F.col("page_status").alias("status_code"),
                 "final_url", "redirected", "content_type", "strategy",
-                "elapsed_ms", "partition_id",
+                "route", "elapsed_ms", "partition_id",
             )
             blocked_log = blocked.select(
                 F.lit(rnd).alias("round"),
@@ -306,6 +309,7 @@ class CrawlEngine:
                 F.lit(None).cast("boolean").alias("redirected"),
                 F.lit(None).cast("string").alias("content_type"),
                 F.lit(None).cast("string").alias("strategy"),
+                F.lit(None).cast("string").alias("route"),
                 F.lit(None).cast("int").alias("elapsed_ms"),
                 F.lit(None).cast("int").alias("partition_id"),
             )

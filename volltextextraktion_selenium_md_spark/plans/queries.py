@@ -210,16 +210,80 @@ def q_link_classification(spark, sf_dir):
     )
 
 
+def _strategy_col():
+    cfg = CrawlConfig()
+    return classify.classify_strategy(
+        F.col("content_type"), F.col("final_url"), F.col("text_len"),
+        F.col("has_main"), F.col("spa_mark"), F.col("js_required"),
+        F.col("consent"), F.col("bot_wall"), F.col("rss_link"), F.col("youtube"),
+        http_only_text_len=cfg.http_only_text_len,
+        js_light_thin_text_len=cfg.js_light_thin_text_len,
+    )
+
+
 def q_strategy_classifier(spark, sf_dir):
     _g(spark, sf_dir)
-    p = graph.pages(spark)
-    return p.select(
+    return graph.pages(spark).select("page_id", _strategy_col().alias("strategy"))
+
+
+def q_preflight_features(spark, sf_dir):
+    """P5 closed loop: mint each html page's payload BYTES, then
+    re-derive every preflight feature from those bytes with the
+    vectorized extractor (functions/features.py, mirroring
+    app/preflight.py:99-110). The oracle is the g_pages feature bits
+    plus the deterministic visible-text length formula — extracted
+    must equal minted for every page."""
+    from volltextextraktion_selenium_md_spark.functions.features import (
+        extract_features_stage,
+    )
+    from volltextextraktion_selenium_md_spark.plans.convert import mint_payload
+
+    import pandas as pd
+
+    _g(spark, sf_dir)
+    rows = graph.pages(spark).filter(
+        F.col("content_type").startswith("text/html")
+    ).select(
+        "page_id", "content_type", "text_len", "has_main", "spa_mark",
+        "js_required", "consent", "bot_wall", "rss_link",
+    )
+
+    def mint(batches):
+        for pdf in batches:
+            html = [
+                mint_payload(r).decode("utf-8")
+                for r in pdf.to_dict("records")
+            ]
+            yield pd.DataFrame({"page_id": pdf["page_id"], "html": html})
+
+    minted = rows.mapInPandas(mint, schema="page_id long, html string")
+    return extract_features_stage(minted, html_col="html", keep=["page_id"])
+
+
+def q_fetch_route(spark, sf_dir):
+    """Auto-mode routing (app/main.py:315-371) incl. the SECOND-CHANCE
+    cut: HTTP_THEN_JS pages whose preflight text already has >=700
+    chars are served from the preflight bytes instead of a Selenium
+    refetch (main.py:343-349; looser than preflight's own >=800
+    HTTP_ONLY cut at preflight.py:119). Thresholds come from
+    CrawlConfig, not literals. `second_fetch` marks auto-mode rows that
+    pay the JS refetch after the preflight probe."""
+    _g(spark, sf_dir)
+    cfg = CrawlConfig()
+    cases = spark.sql(MODE_CASES_BODY)
+    strategy = F.when(F.col("mode") == "auto", _strategy_col())
+    routed = cases.join(graph.pages(spark), on="page_id").select(
         "page_id",
-        classify.classify_strategy(
-            F.col("content_type"), F.col("final_url"), F.col("text_len"),
-            F.col("has_main"), F.col("spa_mark"), F.col("js_required"),
-            F.col("consent"), F.col("bot_wall"), F.col("rss_link"), F.col("youtube"),
-        ).alias("strategy"),
+        "mode",
+        strategy.alias("strategy"),
+        classify.route_fetch(
+            F.col("mode"), strategy, F.col("text_len"),
+            second_chance_text_len=cfg.second_chance_text_len,
+        ).alias("route"),
+    )
+    return routed.withColumn(
+        "second_fetch",
+        (F.col("mode") == "auto") & (F.col("route") == "selenium"),
     )
 
 
@@ -364,7 +428,7 @@ def q_converter_route(spark, sf_dir):
     _g(spark, sf_dir)
     rows = graph.pages(spark).select(
         "url", "page_id", "content_type", "text_len", "has_main",
-        "spa_mark", "js_required", "consent",
+        "spa_mark", "js_required", "consent", "bot_wall", "rss_link",
     )
     out = convert_stage(rows, CrawlConfig())
     return out.select("page_id", "converter_used")
@@ -568,6 +632,16 @@ SELECT
     WHEN 5 THEN '<body>LOADING...</body>'
     WHEN 6 THEN '<body>internal error occurred on the server</body>'
     ELSE '<article>Regular content, nothing suspicious here</article>' END AS html
+FROM g_pages
+"""
+
+MODE_CASES_BODY = """
+SELECT
+  page_id,
+  CASE page_id % 3
+    WHEN 0 THEN 'fast'
+    WHEN 1 THEN 'js'
+    ELSE 'auto' END AS mode
 FROM g_pages
 """
 
