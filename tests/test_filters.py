@@ -71,3 +71,59 @@ def test_cuckoo_property_membership(xs):
     cf = CuckooFilter(max(len(xs) * 2, 64))
     cf.insert(arr)
     assert cf.contains(arr).all()
+
+
+def test_sharded_seenset_prefilter_8_shards(spark):
+    """SeenSet.partitioned_prefilter at 8 shards: no seen row may land
+    in definitely_new (no false negatives across the shard routing);
+    definitely_new + maybe_seen partitions the candidates."""
+    from pyspark.sql import functions as F
+
+    from volltextextraktion_selenium_md_spark.operators import seen as seen_ops
+
+    seen = spark.range(0, 3000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url")
+    )
+    seen = seen_ops.with_hashes(seen)
+    cand_seen = seen.limit(1200)                       # all previously seen
+    cand_new = seen_ops.with_hashes(
+        spark.range(100000, 101500).select(
+            F.concat(F.lit("https://new.example.com/p/"),
+                     F.col("id").cast("string")).alias("url"))
+    )
+    cands = cand_seen.unionByName(cand_new)
+
+    ss = seen_ops.SeenSet.build(seen, n_items=3000, n_shards=8)
+    assert len(ss.shards) >= 8 or ss.n_shards == 8
+    new, maybe = ss.partitioned_prefilter(cands)
+    new_urls = {r["url"] for r in new.collect()}
+    maybe_urls = {r["url"] for r in maybe.collect()}
+    seen_urls = {r["url"] for r in cand_seen.collect()}
+    assert not (new_urls & seen_urls)                  # no false negatives
+    assert new_urls | maybe_urls == {r["url"] for r in cands.collect()}
+    assert not (new_urls & maybe_urls)
+    # serialization round trip preserves membership answers
+    rt = seen_ops.SeenSet.from_bytes(ss.to_bytes())
+    new2, _ = rt.partitioned_prefilter(cands)
+    assert {r["url"] for r in new2.collect()} == new_urls
+
+
+def test_sharded_seenset_filter_unseen_exact(spark):
+    """filter_unseen with a SeenSet gives the exact anti-join answer."""
+    from pyspark.sql import functions as F
+
+    from volltextextraktion_selenium_md_spark.operators import seen as seen_ops
+
+    seen = seen_ops.with_hashes(
+        spark.range(0, 500).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"))
+    )
+    cands = seen_ops.with_hashes(
+        spark.range(250, 900).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"))
+    )
+    ss = seen_ops.SeenSet.build(seen, n_items=500, n_shards=8)
+    got = {r["url"] for r in seen_ops.filter_unseen(cands, seen, ss).collect()}
+    want = {f"u{i}" for i in range(500, 900)}
+    assert got == want

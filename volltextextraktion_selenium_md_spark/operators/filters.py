@@ -15,8 +15,9 @@ Scale note (10^10 URLs): one monolithic bloom at 1% fp needs ~12 GiB —
 too big to broadcast. The design is *per-partition* filters: the seen
 set is hash-partitioned by url_hash, each partition owns a filter over
 its shard, and candidates are routed by the same partitioner so each
-executor consults only its shard (`SeenSet.partitioned_prefilter`).
-In the sandbox the shard count is small; the sharding math is identical.
+executor consults only its shard (`seen.SeenSet.partitioned_prefilter`,
+unit-tested at 8+ shards in tests/test_filters.py). In the sandbox the
+shard count is small; the sharding math is identical.
 """
 
 from __future__ import annotations

@@ -94,6 +94,154 @@ def bloom_prefilter(candidates: DataFrame, bloom: BloomFilter) -> DataFrame:
     )
 
 
+class SeenSet:
+    """Sharded seen-set filter state for the 10^10-URL design point.
+
+    One monolithic 1%-fp bloom over 10^10 keys is ~12 GiB — too big to
+    broadcast. Here the filter is SHARDED: shard id = pmod(h1, n_shards),
+    each shard owns an independent bloom over its keys only, and
+    candidates are routed by the same partitioner, so a task consults
+    exactly one shard (~total/n_shards bytes). In the sandbox the shard
+    blobs travel in one broadcast dict; on a cluster they live as
+    checkpoint blobs and each executor fetches only the shards its
+    partitions own — the routing math below is identical either way.
+    """
+
+    def __init__(self, shards: dict[int, BloomFilter], n_shards: int):
+        self.shards = shards
+        self.n_shards = n_shards
+
+    @classmethod
+    def build(
+        cls, seen: DataFrame, n_items: int, n_shards: int, fp_rate: float = 0.01
+    ) -> "SeenSet":
+        """Distributed sharded build: repartition seen by shard id, one
+        numpy bloom per shard built executor-side (applyInPandas), the
+        driver receives only (shard_id, bitset) pairs."""
+        import numpy as np
+
+        per_shard = max(n_items // n_shards, 64)
+        probe = BloomFilter(per_shard, fp_rate)  # fixes (m, k) per shard
+
+        def one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            bf = BloomFilter.__new__(BloomFilter)
+            bf.m, bf.k = probe.m, probe.k
+            bf.bits = np.zeros_like(probe.bits)
+            bf.add(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+            return pd.DataFrame(
+                {"shard": [int(pdf["shard"].iloc[0])], "blob": [bf.to_bytes()]}
+            )
+
+        keyed = seen.select(
+            F.pmod(F.col("h1"), F.lit(n_shards)).cast("int").alias("shard"),
+            "h1", "h2",
+        )
+        rows = (
+            keyed.groupBy("shard")
+            .applyInPandas(one_shard, schema="shard int, blob binary")
+            .collect()
+        )
+        shards = {r["shard"]: BloomFilter.from_bytes(bytes(r["blob"])) for r in rows}
+        return cls(shards, n_shards)
+
+    # -- (de)serialization: shard blobs live alongside the snapshot ----
+    def to_bytes(self) -> bytes:
+        import struct
+
+        parts = [struct.pack("<qq", self.n_shards, len(self.shards))]
+        for s in sorted(self.shards):
+            blob = self.shards[s].to_bytes()
+            parts.append(struct.pack("<qq", s, len(blob)))
+            parts.append(blob)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "SeenSet":
+        import struct
+
+        n_shards, n = struct.unpack_from("<qq", raw, 0)
+        off = 16
+        shards = {}
+        for _ in range(n):
+            s, blen = struct.unpack_from("<qq", raw, off)
+            off += 16
+            shards[int(s)] = BloomFilter.from_bytes(raw[off:off + blen])
+            off += blen
+        return cls(shards, int(n_shards))
+
+    def add(self, h1, h2) -> None:
+        """Driver-side delta insert (checkpoint refresh): route each key
+        to its shard bloom."""
+        import numpy as np
+
+        h1 = np.asarray(h1, dtype=np.int64)
+        h2 = np.asarray(h2, dtype=np.int64)
+        sid = (np.mod(h1, self.n_shards) + self.n_shards) % self.n_shards
+        proto = next(iter(self.shards.values()))
+        for s in np.unique(sid):
+            bf = self.shards.get(int(s))
+            if bf is None:
+                # shard had no keys at build time — materialize it now
+                # (missing it would let seen rows bypass the anti-join
+                # after a resume)
+                bf = BloomFilter.__new__(BloomFilter)
+                bf.m, bf.k = proto.m, proto.k
+                bf.bits = np.zeros_like(proto.bits)
+                self.shards[int(s)] = bf
+            mask = sid == s
+            bf.add(h1[mask], h2[mask])
+
+    def partitioned_prefilter(
+        self, candidates: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Split candidates into (definitely_new, maybe_seen), each task
+        consulting only the shard(s) its rows route to. Rows are
+        repartitioned on the shard id first, so after the split the
+        data is already partitioned the way the exact anti-join wants
+        its build side."""
+        spark = candidates.sparkSession
+        b = spark.sparkContext.broadcast(
+            {s: bf.to_bytes() for s, bf in self.shards.items()}
+        )
+        n_shards = self.n_shards
+        cols = candidates.columns
+
+        def mark(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            local: dict[int, BloomFilter] = {}  # shards this task touched
+            for pdf in batches:
+                h1 = pdf["h1"].to_numpy()
+                shard_ids = (np.mod(h1, n_shards) + n_shards) % n_shards
+                hit = np.zeros(len(pdf), dtype=bool)
+                for s in np.unique(shard_ids):
+                    bf = local.get(int(s))
+                    if bf is None:
+                        blob = b.value.get(int(s))
+                        if blob is None:
+                            continue  # empty shard -> nothing seen
+                        bf = local.setdefault(int(s), BloomFilter.from_bytes(blob))
+                    mask = shard_ids == s
+                    hit[mask] = bf.contains(h1[mask], pdf["h2"].to_numpy()[mask])
+                out = pdf.copy()
+                out["maybe_seen"] = hit
+                yield out
+
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            list(candidates.schema.fields)
+            + [T.StructField("maybe_seen", T.BooleanType(), False)]
+        )
+        marked = candidates.repartition(
+            max(self.n_shards, 1), F.pmod(F.col("h1"), F.lit(n_shards))
+        ).mapInPandas(mark, schema=schema)
+        return (
+            marked.filter(~F.col("maybe_seen")).select(*cols),
+            marked.filter(F.col("maybe_seen")).select(*cols),
+        )
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -104,6 +252,9 @@ def filter_unseen(
     ever dropped; false positives just take the join path)."""
     if bloom is None:
         return candidates.join(seen.select("url"), on="url", how="left_anti")
-    definitely_new, maybe_seen = bloom_prefilter(candidates, bloom)
+    if isinstance(bloom, SeenSet):
+        definitely_new, maybe_seen = bloom.partitioned_prefilter(candidates)
+    else:
+        definitely_new, maybe_seen = bloom_prefilter(candidates, bloom)
     checked = maybe_seen.join(seen.select("url"), on="url", how="left_anti")
     return definitely_new.unionByName(checked)

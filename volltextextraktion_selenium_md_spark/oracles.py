@@ -508,6 +508,35 @@ FROM g_pages
     )
 
 
+def sql_llm_postprocess() -> str:
+    """Salvage outcomes per response shape (plans/llm.py transport):
+    cases 0-2 parse to the minted JSON (cleaned = 'CLEANED '+md,
+    classification by the deterministic cascade, anonymized = request
+    flag); case 3 is non-JSON -> raw text kept as cleaned, defaults for
+    the rest; case 4 is empty -> everything defaults, no token usage."""
+    from volltextextraktion_selenium_md_spark.plans.llm import CONTENT_MIN_CHARS
+
+    return (
+        _with({"llm_cases": Q.LLM_CASES_BODY})
+        + f"""
+SELECT page_id,
+  CASE page_id % 5
+    WHEN 3 THEN 'Here is the cleaned text:' || chr(10) || 'CLEANED ' || markdown
+    WHEN 4 THEN markdown
+    ELSE 'CLEANED ' || markdown
+  END AS cleaned_markdown,
+  CASE WHEN page_id % 5 IN (3, 4) THEN 'Metabeschreibung'
+       WHEN status >= 400 THEN 'Fehler/Infoseite'
+       WHEN length(markdown) >= {CONTENT_MIN_CHARS} THEN 'Bildungsinhalt'
+       ELSE 'Metabeschreibung' END AS classification,
+  page_id % 2 = 0 AS anonymized,
+  CASE WHEN page_id % 5 = 4 THEN NULL
+       ELSE CAST(floor(length(markdown) / 4) AS INTEGER) END AS tokens_used
+FROM llm_cases
+"""
+    )
+
+
 def sql_event_rate_windows() -> str:
     # Spark window('1 hour') tumbling windows are epoch-aligned, which
     # for whole hours equals date_trunc('hour', ts)
@@ -839,6 +868,7 @@ def build_oracles() -> dict[str, str]:
         "strategy_classifier": sql_strategy_classifier(),
         "preflight_features": sql_preflight_features(),
         "fetch_route": sql_fetch_route(),
+        "llm_postprocess": sql_llm_postprocess(),
         "error_page_detect": sql_error_page_detect(),
         "error_page_html": sql_error_page_html(),
         "absolutize_links": sql_absolutize_links(),

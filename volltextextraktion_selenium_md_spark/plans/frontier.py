@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from volltextextraktion_selenium_md_spark.sources.lakehouse import (
     SnapshotStore,
     merge_into,
+    read_merged,
 )
 
 from volltextextraktion_selenium_md_spark import graph
@@ -120,6 +121,12 @@ def global_ordinal(
     ).drop("_pid")
 
 
+def _np():
+    import numpy as np
+
+    return np
+
+
 def _pad6(col):
     return F.lpad(col.cast("string"), 6, "0")
 
@@ -156,6 +163,9 @@ class CrawlEngine:
         sf_dir: str,
         cfg: CrawlConfig | None = None,
         use_bloom: bool = False,
+        seen_shards: int = 0,
+        use_cuckoo: bool = False,
+        cuckoo_capacity: int = 1 << 16,
         with_convert: bool = False,
         num_partitions: int | None = None,
         collect_round_counts: bool = True,
@@ -168,6 +178,18 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.use_bloom = use_bloom
+        # seen_shards > 0: the 10^10-scale sharded prefilter (SeenSet) —
+        # per-shard blooms consulted task-locally — instead of one
+        # monolithic broadcast bloom
+        self.seen_shards = seen_shards
+        # deletable membership ledger (north rule): inserted on first-
+        # seen, DELETED on permanent failure, serialized with every
+        # checkpoint and restored on resume. Bookkeeping only — the
+        # exact anti-join stays the correctness path (a cuckoo is never
+        # used to BYPASS the join: after a delete that would re-fetch)
+        self.use_cuckoo = use_cuckoo
+        self.cuckoo_capacity = cuckoo_capacity
+        self.cuckoo = None
         self.with_convert = with_convert
         self.collect_round_counts = collect_round_counts
         self.seen_compact_every = 4
@@ -245,23 +267,49 @@ class CrawlEngine:
         payloads: list[DataFrame] = []
         round_counts: list[dict] = []
 
+        from volltextextraktion_selenium_md_spark.operators.filters import (
+            BloomFilter,
+            CuckooFilter,
+        )
+
         rnd = 0
+        resume_filter = None  # bloom/SeenSet restored from checkpoint blob
         if self.store is not None and self.store.latest() is not None:
             # resume from the latest published snapshot: frontier, seen,
-            # cumulative log and filter state restore exactly; rounds
-            # continue from where the previous process died
+            # cumulative log AND filter state restore exactly; rounds
+            # continue from where the previous process died — no rescan
+            # of history to rebuild membership state
             man = self.store.manifest()
             rnd = man["meta"]["round"] + 1
             frontier = self.store.read(self.spark, "frontier").localCheckpoint()
             seen = self.store.read(self.spark, "seen").localCheckpoint()
             logs = [self.store.read(self.spark, "fetch_log").localCheckpoint()]
             n_seen = man["meta"].get("n_seen_hint", 1024)
+            blobs_present = set(man.get("blobs", []))
+            if self.use_bloom:
+                if self.seen_shards > 0 and "seen_shards" in blobs_present:
+                    resume_filter = seen_ops.SeenSet.from_bytes(
+                        self.store.read_blob("seen_shards")
+                    )
+                elif "seen_bloom" in blobs_present:
+                    resume_filter = BloomFilter.from_bytes(
+                        self.store.read_blob("seen_bloom")
+                    )
+            if self.use_cuckoo and "seen_cuckoo" in blobs_present:
+                self.cuckoo = CuckooFilter.from_bytes(
+                    self.store.read_blob("seen_cuckoo")
+                )
         else:
             frontier = seen_ops.with_hashes(
                 init_frontier(self.spark, self.seeds)
             ).localCheckpoint()
             seen = frontier.select("url", "h1", "h2").localCheckpoint()
             n_seen = 0
+        if self.use_cuckoo and self.cuckoo is None:
+            self.cuckoo = CuckooFilter(self.cuckoo_capacity)
+            if rnd == 0:
+                seeds_h1 = sorted(r["h1"] for r in seen.select("h1").collect())
+                self.cuckoo.insert(_np().asarray(seeds_h1, dtype="int64"))
         # one count per round doubles as the loop-exit test AND the seen-
         # cardinality input for bloom sizing — no extra driver actions
         n_frontier = frontier.count()
@@ -371,7 +419,18 @@ class CrawlEngine:
 
             bloom = None
             if self.use_bloom:
-                bloom = seen_ops.build_bloom(seen, n_items=max(n_seen, 1024) * 2)
+                if resume_filter is not None:
+                    # first round after a resume: the checkpoint blob
+                    # already covers the restored seen table — no
+                    # rebuild scan (sources/lakehouse.py contract)
+                    bloom, resume_filter = resume_filter, None
+                elif self.seen_shards > 0:
+                    bloom = seen_ops.SeenSet.build(
+                        seen, n_items=max(n_seen, 1024) * 2,
+                        n_shards=self.seen_shards,
+                    )
+                else:
+                    bloom = seen_ops.build_bloom(seen, n_items=max(n_seen, 1024) * 2)
             # lazy checkpoints truncate lineage without extra jobs: the
             # single frontier count below materializes unseen AND the
             # new frontier in one job; seen then reuses the stored
@@ -394,13 +453,56 @@ class CrawlEngine:
                 seen = seen.localCheckpoint()
             n_frontier = frontier.count()
 
-            if self.store is not None and (rnd + 1) % self.checkpoint_every == 0:
+            committing = (
+                self.store is not None
+                and (rnd + 1) % self.checkpoint_every == 0
+            )
+            # this round's newly-seen hashes, collected once and shared
+            # by the cuckoo ledger and the checkpoint filter refresh
+            # (driver sees only int64 hashes of the round DELTA, never
+            # URLs and never the cumulative seen set); sorted so filter
+            # bytes are insertion-order deterministic
+            delta = None
+            if self.use_cuckoo or (committing and self.use_bloom and bloom is not None):
+                delta = sorted(
+                    (r["h1"], r["h2"]) for r in unseen.select("h1", "h2").collect()
+                )
+            if self.use_cuckoo:
+                np = _np()
+                if delta:
+                    self.cuckoo.insert(np.asarray([d[0] for d in delta], dtype="int64"))
+                # permanent failures leave the ledger (north rule: the
+                # deletable cuckoo keeps the active set tight; the seen
+                # TABLE keeps them so crawl ordering stays replay-exact)
+                dead = sorted(
+                    r["h1"]
+                    for r in fetched.filter(
+                        F.col("outcome").isin("failed", "missing")
+                    ).select("h1").collect()
+                )
+                if dead:
+                    self.cuckoo.delete(np.asarray(dead, dtype="int64"))
+
+            if committing:
                 cum_log = logs[0]
                 for df in logs[1:]:
                     cum_log = cum_log.unionByName(df)
                 blobs = {}
                 if self.use_bloom and bloom is not None:
-                    blobs["seen_bloom"] = bloom.to_bytes()
+                    # fold the round delta in so the blob covers exactly
+                    # the seen table being committed — a resume uses it
+                    # as the first round's filter without a rebuild scan
+                    if delta:
+                        bloom.add(
+                            _np().asarray([d[0] for d in delta], dtype="int64"),
+                            _np().asarray([d[1] for d in delta], dtype="int64"),
+                        )
+                    if isinstance(bloom, seen_ops.SeenSet):
+                        blobs["seen_shards"] = bloom.to_bytes()
+                    else:
+                        blobs["seen_bloom"] = bloom.to_bytes()
+                if self.use_cuckoo:
+                    blobs["seen_cuckoo"] = self.cuckoo.to_bytes()
                 self.store.commit(
                     {"frontier": frontier, "seen": seen, "fetch_log": cum_log},
                     meta={"round": rnd, "n_frontier": n_frontier,
@@ -452,7 +554,7 @@ class CrawlEngine:
 
         payload_df = None
         if self.payload_table is not None and os.path.exists(self.payload_table):
-            payload_df = self.spark.read.parquet(self.payload_table)
+            payload_df = read_merged(self.spark, self.payload_table, "image_id")
         elif payloads:
             payload_df = payloads[0]
             for df in payloads[1:]:

@@ -434,6 +434,29 @@ def q_converter_route(spark, sf_dir):
     return out.select("page_id", "converter_used")
 
 
+def q_llm_postprocess(spark, sf_dir):
+    """LLM postprocess (app/llm.py:165-235): deterministic transport ->
+    JSON-salvage parse -> LLMResult struct, never-fail (main.py:461-464).
+    The five page_id%5 response shapes cover every salvage branch; the
+    oracle re-derives the salvage outcome in pure SQL."""
+    from volltextextraktion_selenium_md_spark.plans.llm import llm_postprocess_stage
+
+    _g(spark, sf_dir)
+    cases = spark.sql(LLM_CASES_BODY).withColumn(
+        "error_page", F.col("status") >= 400
+    )
+    staged = llm_postprocess_stage(
+        cases, error_col="error_page", anonymize_col="anonymize"
+    )
+    return staged.select(
+        "page_id",
+        F.col("llm.cleaned_markdown").alias("cleaned_markdown"),
+        F.col("llm.classification").alias("classification"),
+        F.col("llm.anonymized").alias("anonymized"),
+        F.col("llm.tokens_used").alias("tokens_used"),
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -632,6 +655,15 @@ SELECT
     WHEN 5 THEN '<body>LOADING...</body>'
     WHEN 6 THEN '<body>internal error occurred on the server</body>'
     ELSE '<article>Regular content, nothing suspicious here</article>' END AS html
+FROM g_pages
+"""
+
+LLM_CASES_BODY = """
+SELECT
+  page_id,
+  status,
+  'doc ' || CAST(page_id AS STRING) || repeat(' w', page_id % 400) AS markdown,
+  page_id % 2 = 0 AS anonymize
 FROM g_pages
 """
 

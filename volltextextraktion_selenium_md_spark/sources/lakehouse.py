@@ -110,33 +110,138 @@ class SnapshotStore:
             shutil.rmtree(self._vdir(v), ignore_errors=True)
 
 
+class PartitionedTable:
+    """Hash-partitioned MERGE INTO target with Iceberg commit discipline.
+
+    Layout::
+
+        <root>/data/_part=K/...-v{N}.parquet   immutable data dirs
+        <root>/manifest-v{N}.json              partition -> data dir
+
+    - rows hash to partition ``pmod(xxhash64(key), P)``; a merge
+      REWRITES ONLY the partitions the batch touches (one Spark job,
+      ``partitionBy`` staging write) — O(touched), not O(table), per
+      commit. Untouched partitions keep their existing files
+      byte-identical.
+    - a commit publishes by writing the new manifest to a temp name and
+      ``os.rename``-ing it into place — readers always resolve a fully
+      written manifest; a crash mid-merge leaves the previous manifest
+      live and only orphans staging files (single-writer discipline,
+      like Iceberg's optimistic commit).
+    """
+
+    def __init__(self, root: str, key: str, num_partitions: int = 16):
+        self.root = root
+        self.key = key
+        self.p = num_partitions
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- manifests -----------------------------------------------------
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("manifest-v") and name.endswith(".json"):
+                out.append(int(name[len("manifest-v"):-len(".json")]))
+        return sorted(out)
+
+    def latest(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest() if version is None else version
+        if v is None:
+            return {"files": {}, "p": self.p}
+        with open(os.path.join(self.root, f"manifest-v{v}.json")) as f:
+            return json.load(f)
+
+    # -- merge ----------------------------------------------------------
+    def merge(self, spark: SparkSession, batch: DataFrame) -> list[int]:
+        """MERGE INTO … ON t.key = b.key WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *. Returns the touched partitions."""
+        from pyspark.sql import functions as F
+
+        man = self.manifest()
+        self.p = man.get("p", self.p)
+        part = F.pmod(F.xxhash64(self.key), F.lit(self.p)).cast("int")
+        batch = batch.withColumn("_part", part).localCheckpoint(eager=False)
+        touched = sorted(
+            r["_part"] for r in batch.select("_part").distinct().collect()
+        )
+        if not touched:
+            return []
+        version = (self.latest() or 0) + 1
+        cur = [
+            os.path.join(self.root, "data", man["files"][str(t)])
+            for t in touched
+            if str(t) in man["files"]
+        ]
+        if cur:
+            # read ONLY the touched partitions; anti-join out updated keys
+            tgt = spark.read.parquet(*cur)
+            keep = tgt.join(
+                batch.select(self.key).distinct(), on=self.key, how="left_anti"
+            ).withColumn("_part", part)
+            merged = keep.unionByName(
+                batch.select(*tgt.columns, "_part")
+            )
+        else:
+            merged = batch
+        staging = os.path.join(self.root, f".staging-v{version}")
+        merged.write.partitionBy("_part").mode("overwrite").parquet(staging)
+        files = dict(man["files"])
+        for t in touched:
+            src = os.path.join(staging, f"_part={t}")
+            dst_name = f"_part={t}-v{version}"
+            if os.path.exists(src):
+                os.rename(src, os.path.join(self.root, "data", dst_name))
+                files[str(t)] = dst_name
+        shutil.rmtree(staging, ignore_errors=True)
+        new_man = {"files": files, "p": self.p, "version": version,
+                   "key": self.key}
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_man, f)
+        os.rename(tmp, os.path.join(self.root, f"manifest-v{version}.json"))
+        return touched
+
+    # -- read -----------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        man = self.manifest(version)
+        if not man["files"]:
+            return None
+        paths = [os.path.join(self.root, "data", f) for f in man["files"].values()]
+        return spark.read.parquet(*paths).drop("_part")
+
+    def expire_versions(self, keep_last: int = 2) -> None:
+        """Drop old manifests + any data dir no live manifest references."""
+        vs = self.versions()
+        for v in vs[:-keep_last] if keep_last else vs:
+            os.remove(os.path.join(self.root, f"manifest-v{v}.json"))
+        live = set()
+        for v in self.versions():
+            live.update(self.manifest(v)["files"].values())
+        data = os.path.join(self.root, "data")
+        for name in os.listdir(data):
+            if name not in live:
+                shutil.rmtree(os.path.join(data, name), ignore_errors=True)
+
+
 def merge_into(
     spark: SparkSession,
     target_dir: str,
     batch: DataFrame,
     key: str,
+    num_partitions: int = 16,
 ) -> int:
-    """Copy-on-write MERGE INTO: upsert `batch` into the parquet table at
-    `target_dir` on `key` equality. Returns the new row count.
+    """Partition-scoped MERGE INTO upsert (see PartitionedTable).
+    Returns the number of touched partitions (a cheap commit receipt —
+    counting the whole table after every merge would defeat the
+    partition-scoped commit)."""
+    t = PartitionedTable(target_dir, key, num_partitions)
+    return len(t.merge(spark, batch))
 
-    Equivalent SQL (Iceberg): MERGE INTO target t USING batch b
-    ON t.key = b.key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
-    THEN INSERT *. Implemented as anti-join + union + atomic swap —
-    at 10^10 scale this becomes a real Iceberg COW/ MOR commit; the
-    call-site contract (key-equality upsert, atomic publish) is the same.
-    """
-    if os.path.exists(target_dir):
-        target = spark.read.parquet(target_dir)
-        keep = target.join(batch.select(key).distinct(), on=key, how="left_anti")
-        merged = keep.unionByName(batch.select(*target.columns))
-    else:
-        merged = batch
-    tmp = target_dir.rstrip("/") + ".staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    out = target_dir.rstrip("/") + ".old"
-    if os.path.exists(target_dir):
-        os.rename(target_dir, out)
-    os.rename(tmp, target_dir)
-    shutil.rmtree(out, ignore_errors=True)
-    n = spark.read.parquet(target_dir).count()
-    return n
+
+def read_merged(spark: SparkSession, target_dir: str, key: str) -> DataFrame | None:
+    """Read the current snapshot of a merge_into target."""
+    return PartitionedTable(target_dir, key).read(spark)
