@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": Q.q_embedding_near_dup,
         # end-to-end engine (rows-only; exactness via golden replay test)
         "crawl_full": Q.q_crawl_full,
+        "crawl_then_dedup": Q.q_crawl_then_dedup,
         "crawl_metrics": Q.q_crawl_metrics,
         "crawl_partition_metrics": Q.q_crawl_partition_metrics,
         "payload_table": Q.q_payload_table,

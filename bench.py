@@ -82,6 +82,9 @@ def main() -> None:
         "crawl_bfs_d1",
         "link_classification",
         "strategy_classifier",
+        "preflight_features",
+        "fetch_route",
+        "llm_postprocess",
         "dedup_exact",
         "token_stats",
         "lang_quality",

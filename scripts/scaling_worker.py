@@ -35,19 +35,28 @@ from volltextextraktion_selenium_md_spark.operators import seen as seen_ops
 from volltextextraktion_selenium_md_spark.session import get_spark
 
 
+_LAST_ROUND_WALLS: list[float] = []
+
+
 def job_engine(spark, sf_dir, cores, mirrors, scale):
+    import os
+
     cfg = CrawlConfig(
         max_depth=6, host_budget_per_round=1_000_000, max_rounds=10,
         payload_scale=scale,
     )
     eng = CrawlEngine(
-        spark, sf_dir, cfg=cfg, with_convert=True,
+        spark, sf_dir, cfg=cfg,
+        with_convert=os.environ.get("SPARK_GRAFT_CONVERT", "1") == "1",
         collect_round_counts=False, num_partitions=max(cores, 8),
         mirrors=mirrors, emit_markdown=False,
+        eager_fetch_checkpoint=os.environ.get("SPARK_GRAFT_EAGER", "1") == "1",
     )
     res = eng.run()
     n = res.fetch_log.filter(F.col("outcome") != "blocked").count()
-    res.payloads.count()
+    if res.payloads is not None:
+        res.payloads.count()
+    _LAST_ROUND_WALLS[:] = res.round_walls
     return n
 
 
@@ -110,6 +119,7 @@ def main() -> None:
         "wall_s": round(wall, 2),
         "rows": n,
         "rate": round(n / wall, 1),
+        "round_walls": _LAST_ROUND_WALLS,
     }))
     spark.stop()
 

@@ -98,3 +98,23 @@ def test_llm_postprocess_oracle_small(spark):
         for r in con.execute(oracles.sql_llm_postprocess()).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_engine_with_llm_struct_column(spark):
+    """with_llm: the engine's conversions carry the LLMResult struct
+    (CrawlResponse.llm shape) for every converted page; the cleaned
+    markdown for parse-ok shapes is 'CLEANED ' + markdown."""
+    from tests.conftest import SF_SMALL
+    from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
+
+    res = CrawlEngine(spark, SF_SMALL, with_convert=True, with_llm=True).run()
+    rows = res.conversions.select("page_id", "markdown", "llm.*").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["classification"] in (
+            "Bildungsinhalt", "Metabeschreibung", "Fehler/Infoseite")
+        if r["page_id"] % 5 in (0, 1, 2):
+            assert r["cleaned_markdown"] == "CLEANED " + r["markdown"]
+        if r["page_id"] % 5 == 4:
+            assert r["cleaned_markdown"] == r["markdown"]
+            assert r["tokens_used"] is None

@@ -253,9 +253,13 @@ class _Breaker:
 
 
 def convert_bytes(
-    pid: int, ctype: str, payload: bytes, breaker: _Breaker, max_bytes: int
+    pid: int, ctype: str, payload: bytes, breaker: _Breaker, max_bytes: int,
+    extractor=None,
 ) -> tuple[str, str, bool]:
-    """Returns (markdown, converter_used, truncated). Never raises (C9)."""
+    """Returns (markdown, converter_used, truncated). Never raises (C9).
+    `extractor` (default `_extract`) is injectable so tests can poison
+    the heavy tier and observe the breaker trip."""
+    extract = extractor or _extract
     truncated = len(payload) > max_bytes
     if truncated:
         payload = payload[:max_bytes]  # P10
@@ -285,13 +289,13 @@ def convert_bytes(
         # raw strip; each tier isolated (converter.py:208-246)
         if not breaker.open:
             try:
-                main = _extract(html, main_only=True)
+                main = extract(html, main_only=True)
                 if len(main) >= 80:
                     return _polish(main), "main", truncated
             except Exception:
                 breaker.record()
         try:
-            full = _extract(html, main_only=False)
+            full = extract(html, main_only=False)
             if full:
                 return _polish(full), "full", truncated
         except Exception:
@@ -332,6 +336,7 @@ def convert_stage(
     fetched: DataFrame,
     cfg: CrawlConfig | None = None,
     emit_markdown: bool = True,
+    extractor=None,
 ) -> DataFrame:
     """mapInPandas convert pass over fetched rows (outcome='fetched').
 
@@ -351,7 +356,9 @@ def convert_stage(
                 pid = int(row["page_id"])
                 ctype = row["content_type"]
                 payload = mint_payload(row, scale)
-                md, conv, trunc = convert_bytes(pid, ctype, payload, breaker, max_bytes)
+                md, conv, trunc = convert_bytes(
+                    pid, ctype, payload, breaker, max_bytes, extractor
+                )
                 out["url"].append(row["url"])
                 out["page_id"].append(pid)
                 out["markdown"].append(md if emit_markdown else "")

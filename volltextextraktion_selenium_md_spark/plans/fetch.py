@@ -108,15 +108,133 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     )
 
 
-def live_fetch(admitted: DataFrame, cfg: CrawlConfig) -> DataFrame:  # pragma: no cover
-    """Real network fetch via httpx inside mapInPandas — per-partition
-    connection reuse, per-row (status, final_url, bytes, ctype,
-    truncated) like the reference's 5-tuple (http_fetcher.py:33-34).
-    Not runnable in the sandbox (no network/httpx)."""
-    try:
-        import httpx  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "live fetching requires httpx + network; the sandbox uses simulated_fetch"
-        ) from exc
-    raise NotImplementedError("live fetch wiring is deployment-specific")
+LIVE_FETCH_SCHEMA = (
+    "url string, host string, depth int, lineage string, attempt int, "
+    "user_agent string, status_code int, final_url string, payload binary, "
+    "content_type string, truncated boolean, attempts_used int, "
+    "backoff_ms int, error string, partition_id int"
+)
+
+
+def _httpx_transport_factory():  # pragma: no cover — needs network
+    """Default transport: ONE httpx client per partition (connection /
+    keep-alive reuse across that partition's rows — the distributed
+    analogue of the reference's per-request AsyncClient with
+    max_keepalive_connections=4, http_fetcher.py:39-52)."""
+    import httpx
+
+    client = httpx.Client(follow_redirects=True, http2=True,
+                          cookies=httpx.Cookies())
+
+    def call(url: str, user_agent: str, timeout_s: float, max_bytes: int):
+        with client.stream(
+            "GET", url, headers={"User-Agent": user_agent}, timeout=timeout_s
+        ) as resp:
+            buf = bytearray()
+            for chunk in resp.iter_bytes():
+                buf.extend(chunk)
+                if len(buf) > max_bytes:  # stream cut, don't buffer the body
+                    break
+            return (
+                resp.status_code,
+                str(resp.url),
+                bytes(buf),
+                resp.headers.get("content-type"),
+            )
+
+    return call
+
+
+def live_fetch(
+    admitted: DataFrame,
+    cfg: CrawlConfig,
+    transport_factory=None,
+    num_partitions: int | None = None,
+    timeout_s: float = 10.0,
+) -> DataFrame:
+    """Real network fetch stage behind the flag: salted repartition ->
+    mapInPandas with a per-partition client.
+
+    Faithful to the reference fast path (``http_fetcher.py:24-87``):
+    - per-row 5-tuple ``(status, final_url, bytes, ctype, truncated)``
+    - retry ONLY on transport exceptions, ``for attempt in
+      range(retries+1)`` with ``min(2**attempt, 5)``s backoff
+      (``:64-83``) — recorded as a ``backoff_ms`` schedule-slot column,
+      never a sleep, so tests and the politeness scheduler stay
+      deterministic
+    - ``max_bytes`` byte-budget cut + ``truncated`` flag (``:71-79``)
+    - retries exhausted -> status NULL + ``error`` (the engine maps it
+      to a terminal failure like main.py's 502/504 translation)
+
+    ``transport_factory() -> callable(url, ua, timeout_s, max_bytes) ->
+    (status, final_url, bytes, ctype)`` is injectable; the default is
+    httpx. Hot hosts are salted across partitions FIRST — this stage,
+    unlike the simulated equi-join, really does one network call per
+    row, so a Zipf host would otherwise pin one executor."""
+    import pandas as pd
+
+    from volltextextraktion_selenium_md_spark.operators.politeness import (
+        salted_repartition,
+    )
+
+    if transport_factory is None:
+        try:
+            import httpx  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "live fetching requires httpx (or an injected transport); "
+                "the sandbox engine uses simulated_fetch"
+            ) from exc
+        transport_factory = _httpx_transport_factory
+
+    nparts = num_partitions or admitted.rdd.getNumPartitions()
+    salted = salted_repartition(admitted, nparts)
+    salted = salted.withColumn("user_agent", pick_user_agent(F.col("url")))
+    retries, max_bytes = cfg.retries, cfg.max_bytes
+    keep = ["url", "host", "depth", "lineage", "attempt", "user_agent"]
+
+    def run(batches):
+        transport = transport_factory()  # one client per partition
+        for pdf in batches:
+            out = {k: [] for k in keep + [
+                "status_code", "final_url", "payload", "content_type",
+                "truncated", "attempts_used", "backoff_ms", "error"]}
+            for row in pdf.to_dict("records"):
+                status = final_url = ctype = None
+                data = b""
+                backoff_ms = 0
+                used = 0
+                err = None
+                for attempt in range(retries + 1):
+                    used = attempt + 1
+                    try:
+                        status, final_url, data, ctype = transport(
+                            row["url"], row["user_agent"], timeout_s, max_bytes
+                        )
+                        err = None
+                        break
+                    except Exception as exc:  # retry on transport errors only
+                        err = f"{type(exc).__name__}: {exc}"
+                        backoff_ms += min(2 ** attempt, 5) * 1000
+                truncated = len(data) > max_bytes
+                if truncated:
+                    data = data[:max_bytes]
+                for k in keep:
+                    out[k].append(row[k])
+                out["status_code"].append(status)
+                out["final_url"].append(final_url)
+                out["payload"].append(data if err is None else None)
+                out["content_type"].append(ctype)
+                out["truncated"].append(truncated)
+                out["attempts_used"].append(used)
+                out["backoff_ms"].append(backoff_ms)
+                out["error"].append(err)
+            res = pd.DataFrame(out)
+            res["status_code"] = pd.array(out["status_code"], dtype="Int32")
+            yield res
+
+    import pyspark.sql.functions as SF
+
+    return salted.select(*keep).mapInPandas(
+        run, schema=LIVE_FETCH_SCHEMA.replace(", partition_id int", "")
+    ).withColumn("partition_id", SF.spark_partition_id())

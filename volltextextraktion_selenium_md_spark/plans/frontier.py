@@ -35,6 +35,7 @@ Scale notes (10^10-URL design point):
 from __future__ import annotations
 
 import os
+import time as _time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -86,6 +87,8 @@ class CrawlResult:
     rounds: int = 0
     round_counts: list[dict] = field(default_factory=list)
     partition_metrics: DataFrame | None = None  # per (round, partition) lineage
+    conversions: DataFrame | None = None  # per-page markdown (with_convert)
+    round_walls: list[float] = field(default_factory=list)  # driver s/round
 
 
 def global_ordinal(
@@ -172,6 +175,7 @@ class CrawlEngine:
         mirrors: int = 1,
         eager_fetch_checkpoint: bool = True,
         emit_markdown: bool = True,
+        with_llm: bool = False,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
     ):
@@ -201,6 +205,10 @@ class CrawlEngine:
         # parallel job across all rounds (better under high parallelism)
         self.eager_fetch_checkpoint = eager_fetch_checkpoint
         self.emit_markdown = emit_markdown
+        # optional LLM postprocess over converted markdown (plans/llm.py):
+        # conversions gain the LLMResult struct column (CrawlResponse.llm,
+        # reference schemas.py:248-257) — never fails a row
+        self.with_llm = with_llm and with_convert
         # lakehouse snapshot checkpointing (SURVEY §7 M6): commit
         # frontier/seen/log each K rounds + MERGE payloads INTO the
         # payload table; a new engine on the same dir resumes from the
@@ -265,6 +273,7 @@ class CrawlEngine:
         self.links = self.links.persist()
         logs: list[DataFrame] = []
         payloads: list[DataFrame] = []
+        conversions: list[DataFrame] = []
         round_counts: list[dict] = []
 
         from volltextextraktion_selenium_md_spark.operators.filters import (
@@ -314,7 +323,9 @@ class CrawlEngine:
         # cardinality input for bloom sizing — no extra driver actions
         n_frontier = frontier.count()
         n_seen = n_seen or n_frontier
+        round_walls: list[float] = []
         while rnd < cfg.max_rounds and n_frontier > 0:
+            _t_round = _time.time()
             allowed, blocked = robots_split(frontier, self.robots)
             admitted, deferred = host_budget_split(allowed, cfg.host_budget_per_round)
             admitted = schedule_slots(admitted, cfg.default_crawl_delay_ms)
@@ -366,6 +377,28 @@ class CrawlEngine:
             if self.with_convert:
                 ok = fetched.filter(F.col("outcome") == "fetched")
                 conv = convert_stage(ok, cfg, emit_markdown=self.emit_markdown)
+                conv_out = conv.select(
+                    "url", "page_id", "markdown", "markdown_length",
+                    "converter_used", "truncated",
+                )
+                if self.with_llm:
+                    from volltextextraktion_selenium_md_spark.functions.classify import (
+                        error_page_detected,
+                    )
+                    from volltextextraktion_selenium_md_spark.plans.llm import (
+                        llm_postprocess_stage,
+                    )
+
+                    conv_out = llm_postprocess_stage(
+                        conv_out.withColumn(
+                            "error_page",
+                            error_page_detected(
+                                F.col("markdown"), F.lit(None).cast("int")
+                            ),
+                        ),
+                        error_col="error_page",
+                    ).drop("error_page")
+                conversions.append(conv_out)
                 batch = conv.filter(F.col("image_id").isNotNull()).select(
                     "image_id",
                     F.col("image_bytes").alias("bytes"),
@@ -522,6 +555,7 @@ class CrawlEngine:
             # cheap upper bound is enough for bloom sizing (deferred and
             # retry rows double-count; the bloom is just slightly larger)
             n_seen = n_seen + n_frontier
+            round_walls.append(round(_time.time() - _t_round, 3))
             rnd += 1
 
         fetch_log = logs[0]
@@ -567,6 +601,12 @@ class CrawlEngine:
             self.pages.unpersist()
             self.links.unpersist()
 
+        conversions_df = None
+        if conversions:
+            conversions_df = conversions[0]
+            for df in conversions[1:]:
+                conversions_df = conversions_df.unionByName(df)
+
         return CrawlResult(
             fetch_log=full_log,
             seen=seen.select("url"),
@@ -575,4 +615,6 @@ class CrawlEngine:
             rounds=rnd,
             round_counts=round_counts,
             partition_metrics=partition_metrics,
+            conversions=conversions_df,
+            round_walls=round_walls,
         )

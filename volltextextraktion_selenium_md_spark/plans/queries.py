@@ -574,6 +574,23 @@ def q_crawl_partition_metrics(spark, sf_dir):
     return res.partition_metrics
 
 
+def q_crawl_then_dedup(spark, sf_dir):
+    """The training-data composition the reference's users actually
+    want: crawl -> convert to markdown -> MinHash-LSH near-dup pairs
+    OVER THE CRAWLED CORPUS (not the driver documents table). Rows-only
+    in the gate; tests/test_crawl_dedup.py re-derives the exact same
+    pairs from the golden replay + deterministic mint, independent of
+    the engine."""
+    res = CrawlEngine(spark, sf_dir, with_convert=True).run()
+    docs = res.conversions.select(
+        F.col("page_id").alias("doc_id"), F.col("markdown").alias("text")
+    ).dropDuplicates(["doc_id"])
+    return dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=MINHASH_H, bands=MINHASH_BANDS,
+        threshold=LSH_EST_T,
+    )
+
+
 def q_payload_table(spark, sf_dir):
     res = CrawlEngine(spark, sf_dir, with_convert=True).run()
     assert res.payloads is not None
