@@ -82,3 +82,13 @@ def test_payload_invariants(spark):
             assert codec.psnr(src, got) >= 40.0       # lossy invariant
         assert r["caption"] == codec.synth_caption(key)   # caption equality
         assert r["phash"] == codec.average_hash(src)
+
+
+def test_lazy_fetch_checkpoint_still_exact(spark):
+    """eager_fetch_checkpoint=False (one lazy-checkpoint job per round)
+    must preserve exact crawl order + seen set."""
+    cfg = CrawlConfig()
+    rep = replay_crawl(SF_SMALL, cfg)
+    res = CrawlEngine(spark, SF_SMALL, cfg, eager_fetch_checkpoint=False).run()
+    assert _spark_order(res) == _gold_order(rep)
+    assert {r["url"] for r in res.seen.collect()} == rep.seen

@@ -10,10 +10,11 @@ adds the global set. Design:
 - `filter_unseen` = left_anti join on `url` — exact, shuffle-hash,
   scales linearly (both sides partitioned on the same key).
 - optional Bloom prefilter built DISTRIBUTEDLY (per-partition numpy
-  blooms OR-merged via treeReduce) and applied in `mapInPandas`; it
-  removes the bulk of already-seen candidates before the anti-join
-  shuffle. At 10^10 URLs the bloom is sharded per partition
-  (filters.py docstring); here one merged filter suffices.
+  blooms inside a `mapInPandas` pass, tiny binary partials OR-merged on
+  the driver) and applied in `mapInPandas`; it removes the bulk of
+  already-seen candidates before the anti-join shuffle. At 10^10 URLs
+  the bloom is SHARDED per partition — `SeenSet.partitioned_prefilter`
+  below — so no single 12 GiB bitset is ever broadcast.
 - a CuckooFilter mirror supports deletes (permanently-failed rows can
   be evicted on resume) and serializes into the checkpoint directory.
 """
@@ -35,29 +36,32 @@ def with_hashes(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def build_bloom(seen: DataFrame, n_items: int, fp_rate: float = 0.01) -> BloomFilter:
-    """Distributed bloom build: one numpy bloom per partition, OR-merged
-    with treeReduce (driver receives a single bitset, never the keys)."""
+    """Distributed bloom build in the DataFrame layer (SURVEY §1.4
+    'DataFrame everywhere'): one numpy bloom per partition built inside
+    an Arrow-batched ``mapInPandas`` pass, partial bitsets returned as
+    one binary row per partition; the driver ORs ~P small bitsets and
+    never sees a key. (``df.stat.bloomFilter`` exists but yields a JVM
+    object the Python filters can't consume or serialize.)"""
     m_probe = BloomFilter(n_items, fp_rate)  # fixes (m, k) for all partials
 
-    def partial(rows: Iterator) -> Iterator[bytes]:
-        bf = BloomFilter.__new__(BloomFilter)
-        bf.m, bf.k = m_probe.m, m_probe.k
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        bf = BloomFilter.__new__(BloomFilter)
+        bf.m, bf.k = m_probe.m, m_probe.k
         bf.bits = np.zeros_like(m_probe.bits)
-        h1s, h2s = [], []
-        for r in rows:
-            h1s.append(r["h1"])
-            h2s.append(r["h2"])
-        if h1s:
-            bf.add(np.asarray(h1s, dtype=np.int64), np.asarray(h2s, dtype=np.int64))
-        yield bf.to_bytes()
+        n = 0
+        for pdf in batches:
+            bf.add(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame({"blob": [bf.to_bytes()]})
 
-    partials = seen.select("h1", "h2").rdd.mapPartitions(partial)
-    merged = partials.treeReduce(
-        lambda a, b: BloomFilter.from_bytes(a).union(BloomFilter.from_bytes(b)).to_bytes()
-    )
-    return BloomFilter.from_bytes(merged)
+    rows = seen.select("h1", "h2").mapInPandas(partial, schema="blob binary").collect()
+    merged = m_probe  # empty filter with the agreed (m, k)
+    for r in rows:
+        merged = merged.union(BloomFilter.from_bytes(bytes(r["blob"])))
+    return merged
 
 
 def bloom_prefilter(candidates: DataFrame, bloom: BloomFilter) -> DataFrame:

@@ -187,7 +187,9 @@ def live_fetch(
             ) from exc
         transport_factory = _httpx_transport_factory
 
-    nparts = num_partitions or admitted.rdd.getNumPartitions()
+    nparts = num_partitions or int(
+        admitted.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     salted = salted_repartition(admitted, nparts)
     salted = salted.withColumn("user_agent", pick_user_agent(F.col("url")))
     retries, max_bytes = cfg.retries, cfg.max_bytes

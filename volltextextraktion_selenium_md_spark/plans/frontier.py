@@ -197,12 +197,10 @@ class CrawlEngine:
         self.with_convert = with_convert
         self.collect_round_counts = collect_round_counts
         self.seen_compact_every = 4
-        # True: materialize each round's fetch output (single-pass; the
-        # default). False: keep it lazy — consumers (log, retries,
-        # children, convert) recompute the cheap co-partitioned fetch
-        # join, trading ~2x fetch-join CPU for zero per-round cache
-        # writes; the end-of-run log/convert recomputes run as ONE
-        # parallel job across all rounds (better under high parallelism)
+        # True: materialize each round's fetch output immediately (its
+        # own job). False: LAZY checkpoint — the round's single count
+        # action materializes and stores fetched in one job; halves the
+        # per-round fixed stage latency that dominates small rounds
         self.eager_fetch_checkpoint = eager_fetch_checkpoint
         self.emit_markdown = emit_markdown
         # optional LLM postprocess over converted markdown (plans/llm.py):
@@ -349,6 +347,13 @@ class CrawlEngine:
             )
             if self.eager_fetch_checkpoint:
                 fetched = fetched.localCheckpoint()
+            else:
+                # lazy checkpoint: the round's ONE materializing action
+                # (the frontier count below) computes AND stores fetched;
+                # every later consumer (log, retries, children, convert)
+                # reads the stored partitions — one Spark job per round
+                # instead of two, no recompute
+                fetched = fetched.localCheckpoint(eager=False)
 
             log = fetched.select(
                 F.lit(rnd).alias("round"),
