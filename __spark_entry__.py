@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": Q.q_ngram_jaccard,
         "minhash_signatures": Q.q_minhash_signatures,
         "minhash_lsh_pairs": Q.q_minhash_lsh_pairs,
+        "minhash_lsh_clusters": Q.q_minhash_lsh_clusters,
         "simhash": Q.q_simhash,
         "simhash_dup_pairs": Q.q_simhash_dup_pairs,
         # streaming monitor (batch twins; stream==batch in tests)

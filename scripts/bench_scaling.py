@@ -15,7 +15,8 @@ Measured at two 4x pairings:
                    bandwidth shared by all 32 threads).
 
 Usage: python scripts/bench_scaling.py [sf_dir]
-Writes BENCH.md and prints a JSON summary per measurement.
+Writes BENCH_AUTO.md (the curated analysis lives in BENCH.md) and
+prints a JSON summary per measurement.
 """
 
 from __future__ import annotations
@@ -28,12 +29,16 @@ from datetime import datetime, timezone
 REPO = "/root/repo"
 
 # (job, n_small, n_large, mirrors, payload_scale, reps)
+# headline: 2->8 engine at web-realistic ~50KB pages (lazy checkpoint is
+# the session default for the engine job via SPARK_GRAFT_EAGER=0 below)
 MATRIX = [
+    ("engine",   2,  8,  8, 64, 1),
     ("engine",   2,  8,  8, 32, 1),
     ("engine",   8, 32, 16, 32, 2),
     ("convert",  2,  8,  4,  8, 1),
     ("convert",  8, 32,  8,  8, 2),
-    ("frontier", 8, 32, 32,  1, 2),
+    ("frontier", 2,  8, 16,  1, 2),
+    ("frontier", 8, 32, 64,  1, 2),
 ]
 
 JOB_DESC = {
@@ -47,10 +52,15 @@ JOB_DESC = {
 
 
 def run_once(sf_dir: str, cores: int, job: str, mirrors: int, scale: int) -> dict:
+    import os
+
+    env = dict(os.environ)
+    if job == "engine":
+        env["SPARK_GRAFT_EAGER"] = "0"  # lazy checkpoint: one job/round
     out = subprocess.run(
         [sys.executable, f"{REPO}/scripts/scaling_worker.py",
          sf_dir, str(cores), job, str(mirrors), str(scale)],
-        capture_output=True, text=True, check=True, timeout=2400,
+        capture_output=True, text=True, check=True, timeout=2400, env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -131,7 +141,7 @@ def main() -> None:
         f"Reproduce: `python scripts/bench_scaling.py {sf_dir}`",
         "",
     ]
-    with open(f"{REPO}/BENCH.md", "w") as f:
+    with open(f"{REPO}/BENCH_AUTO.md", "w") as f:
         f.write("\n".join(lines))
 
 

@@ -129,7 +129,7 @@ def main() -> None:
     # 5. convert stage is Arrow-vectorized
     rows = graph.pages(spark).select(
         "url", "page_id", "content_type", "text_len", "has_main",
-        "spa_mark", "js_required", "consent",
+        "spa_mark", "js_required", "consent", "bot_wall", "rss_link",
     )
     p5 = formatted(convert_stage(rows, cfg))
     if "MapInPandas" not in p5 and "ArrowEvalPython" not in p5:

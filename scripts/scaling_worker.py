@@ -67,7 +67,7 @@ def job_convert(spark, sf_dir, cores, mirrors, scale):
     pages = graph.mirror_pages(pages, mirrors, span)
     rows = pages.select(
         "url", "page_id", "content_type", "text_len", "has_main",
-        "spa_mark", "js_required", "consent",
+        "spa_mark", "js_required", "consent", "bot_wall", "rss_link",
     ).repartition(max(cores, 8))
     cfg = CrawlConfig(payload_scale=scale)
     out = convert_stage(rows, cfg, emit_markdown=False)

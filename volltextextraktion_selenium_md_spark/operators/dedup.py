@@ -167,19 +167,7 @@ def minhash_lsh_pairs(
     transitivity) rather than quadratic pair explosion."""
     r = num_hashes // bands
     sig = minhash_signatures(documents, n, num_hashes).cache()
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
-            )
-        )
-    banded = band_rows[0]
-    for df in band_rows[1:]:
-        banded = banded.unionByName(df)
+    banded = _banded(sig, num_hashes, bands)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -197,6 +185,88 @@ def minhash_lsh_pairs(
         .withColumn("est_jaccard", F.round(eq_frac, 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: signature split into `bands` bands
+    of r components each, bucket = md5 of the band slice."""
+    r = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for df in band_rows[1:]:
+        banded = banded.unionByName(df)
+    return banded
+
+
+def minhash_lsh_clusters(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTER assignment without quadratic pair explosion.
+
+    A degenerate near-dup cluster of K docs in one bucket would cost
+    K^2/2 rows as pairs; instead each (band, bucket) contributes STAR
+    edges ``doc -> min(doc_id in bucket)`` (K rows), and connected
+    components are resolved by iterative min-label propagation — one
+    small shuffle per round, converging in O(log diameter) rounds with
+    a driver-side fixpoint check. Linkage is band-bucket co-occurrence
+    (the standard LSH grouping criterion); cluster_id = min doc_id of
+    the component.
+
+    Returns (doc_id, cluster_id, cluster_size) for EVERY document
+    (singletons cluster with themselves)."""
+    sig = minhash_signatures(documents, n, num_hashes).cache()
+    banded = _banded(sig, num_hashes, bands)
+    roots = banded.groupBy("band", "bucket").agg(F.min("doc_id").alias("dst"))
+    edges = (
+        banded.join(roots, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("dst"))
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+    # undirected adjacency for propagation
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+    labels = sig.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
     )
 
 

@@ -703,6 +703,41 @@ WHERE ({eq}) / {float(Q.MINHASH_H)} >= {Q.LSH_EST_T}
 """
 
 
+def sql_minhash_lsh_clusters() -> str:
+    """Connected components over the same star edges the Spark side
+    builds (doc -> per-(band,bucket) min doc_id), via a recursive CTE:
+    a doc's cluster_id = min label reachable through symmetric edges."""
+    r = Q.MINHASH_H // Q.MINHASH_BANDS
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"mh_{b * r + j}" for j in range(r))
+        + ")) AS bucket FROM sig"
+        for b in range(Q.MINHASH_BANDS)
+    )
+    return f"""
+WITH RECURSIVE sh AS ({SHINGLES}),
+sig AS (SELECT doc_id, {", ".join(_minhash_aggs())} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+roots AS (SELECT band, bucket, min(doc_id) AS dst FROM banded GROUP BY 1, 2),
+edges AS (
+  SELECT DISTINCT b.doc_id AS src, r.dst
+  FROM banded b JOIN roots r USING (band, bucket)
+  WHERE b.doc_id <> r.dst
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(doc, lab) AS (
+  SELECT doc_id, doc_id FROM sig
+  UNION
+  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.doc = s.dst
+),
+lab AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc)
+SELECT l.doc AS doc_id, l.cluster_id, c.cluster_size
+FROM lab l JOIN (
+  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1
+) c USING (cluster_id)
+"""
+
+
 _SIMHASH_CTE = f"""
 SELECT doc_id, {", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
@@ -889,6 +924,7 @@ def build_oracles() -> dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "minhash_signatures": sql_minhash_signatures(),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "minhash_lsh_clusters": sql_minhash_lsh_clusters(),
         "simhash": sql_simhash(),
         "simhash_dup_pairs": sql_simhash_dup_pairs(),
         "cosine_topk": sql_cosine_topk(),

@@ -526,6 +526,15 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_minhash_lsh_clusters(spark, sf_dir):
+    """Scale path for degenerate near-dup clusters: star edges per LSH
+    bucket + min-label propagation -> (doc_id, cluster_id,
+    cluster_size), never a quadratic pair join."""
+    return dedup.minhash_lsh_clusters(
+        _docs(spark, sf_dir), n=3, num_hashes=MINHASH_H, bands=MINHASH_BANDS,
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
