@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming monitor (batch twins; stream==batch in tests)
         "event_rate_windows": Q.q_event_rate_windows,
         "sessionize": Q.q_sessionize,
+        "admission_control": Q.q_admission_control,
         # training-data pipeline: similarity search
         "cosine_topk": Q.q_cosine_topk,
         "cosine_topk_lsh": Q.q_cosine_topk_lsh,

@@ -61,3 +61,66 @@ def test_sessionize_properties(spark):
         & (F.col("session_start") <= F.col("prev_end"))
     )
     assert bad.count() == 0
+
+
+def test_admission_stream_equals_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-(host,
+    window) GroupState must carry admitted-slot counts across
+    micro-batches — end-of-stream decisions equal the batch rank cut
+    when files arrive in event-time order. Small capacity/queue so all
+    three outcomes occur at sf0.001."""
+    from volltextextraktion_selenium_md_spark.streaming.admission import (
+        admission_control,
+        admission_control_stream,
+    )
+
+    src = str(tmp_path / "adm_stream")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    # time-ordered file split: 4 range partitions on ts -> 4 micro-
+    # batches arriving in event-time order (file source reads in
+    # lexicographic path order after repartitionByRange write)
+    (
+        events.repartitionByRange(4, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(src)
+    )
+    # the file source schedules backlog files by MODIFICATION TIME, and
+    # a parallel write finishes parts in arbitrary order — stamp
+    # increasing mtimes in path order so arrival order == event-time
+    # order (in production the feed appends over time, giving this for
+    # free)
+    import os
+    import time as _t
+
+    parts = sorted(
+        f for f in os.listdir(src) if f.startswith("part-")
+    )
+    now = _t.time()
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (now + i, now + i))
+
+    cap, q = 4, 8
+    expected = sorted(
+        tuple(r)
+        for r in admission_control(
+            spark.read.parquet(src), capacity=cap, queue_limit=q
+        ).collect()
+    )
+    decisions = {r[3] for r in expected}
+    assert decisions == {"admitted", "queued", "rejected"}  # non-vacuous
+
+    stream = admission_control_stream(spark, src, capacity=cap, queue_limit=q)
+    assert stream.isStreaming
+    qy = (
+        stream.writeStream.format("memory")
+        .queryName("admissions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "adm_ck"))
+        .start()
+    )
+    try:
+        qy.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.table("admissions").collect())
+    finally:
+        qy.stop()
+    assert got == expected and len(got) > 0

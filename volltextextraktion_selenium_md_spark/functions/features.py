@@ -84,7 +84,16 @@ def visible_text(html: str) -> str:
     """Tag-stripped, whitespace-collapsed visible text."""
     stripped = _SKIP_BLOCK_RE.sub(" ", html)
     stripped = _TAG_RE.sub(" ", stripped)
-    return _WS_RE.sub(" ", stripped).strip()
+    # ' '.join(split()) == regex \s+ collapse + strip, at C speed
+    return " ".join(stripped.split())
+
+
+# cheap substring pre-gates: the full regexes (with their non-greedy
+# alternations) only run when a literal fragment is present — the
+# common no-match page costs a handful of C-level `in` scans
+_CONSENT_WORDS = ("consent", "cookie", "datenschutz")
+_BOT_WORDS = ("captcha", "just a moment", "attention required", "cloudflare")
+_RSS_WORDS = ("application/rss+xml", "application/atom+xml")
 
 
 def extract_features_one(html: str) -> dict:
@@ -94,10 +103,22 @@ def extract_features_one(html: str) -> dict:
         "text_len": len(visible_text(html)),
         "has_main": _HAS_MAIN_RE.search(html) is not None,
         "spa_mark": any(m in lower for m in SPA_MARKERS),
-        "js_required": _JS_REQUIRED_RE.search(lower) is not None,
-        "consent": _CONSENT_RE.search(lower) is not None,
-        "bot_wall": _BOT_WALL_RE.search(lower) is not None,
-        "rss_link": _RSS_LINK_RE.search(html) is not None,
+        "js_required": (
+            "javascript" in lower
+            and _JS_REQUIRED_RE.search(lower) is not None
+        ),
+        "consent": (
+            any(w in lower for w in _CONSENT_WORDS)
+            and _CONSENT_RE.search(lower) is not None
+        ),
+        "bot_wall": (
+            any(w in lower for w in _BOT_WORDS)
+            and _BOT_WALL_RE.search(lower) is not None
+        ),
+        "rss_link": (
+            any(w in lower for w in _RSS_WORDS)
+            and _RSS_LINK_RE.search(html) is not None
+        ),
     }
 
 

@@ -547,6 +547,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sql_admission_control() -> str:
+    from volltextextraktion_selenium_md_spark.streaming.admission import (
+        ADMISSION_CAPACITY,
+        ADMISSION_QUEUE_LIMIT,
+        ADMISSION_WINDOW,
+        N_HOSTS,
+    )
+
+    cap, q = ADMISSION_CAPACITY, ADMISSION_QUEUE_LIMIT
+    return f"""
+SELECT event_id, host, window_start,
+  CASE WHEN rn <= {cap} THEN 'admitted'
+       WHEN rn <= {cap + q} THEN 'queued'
+       ELSE 'rejected' END AS decision
+FROM (
+  SELECT event_id,
+    'host' || CAST(user_id % {N_HOSTS} AS STRING) AS host,
+    -- DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+    CAST(date_trunc('{ADMISSION_WINDOW}', ts) AS TIMESTAMP) AS window_start,
+    row_number() OVER (
+      PARTITION BY user_id % {N_HOSTS}, date_trunc('{ADMISSION_WINDOW}', ts)
+      ORDER BY ts, event_id
+    ) AS rn
+  FROM events
+) t
+"""
+
+
 def sql_sessionize() -> str:
     from volltextextraktion_selenium_md_spark.streaming.monitor import SESSION_GAP_MIN
 
@@ -913,6 +941,7 @@ def build_oracles() -> dict[str, str]:
         "converter_route": sql_converter_route(),
         "event_rate_windows": sql_event_rate_windows(),
         "sessionize": sql_sessionize(),
+        "admission_control": sql_admission_control(),
         "redirect_flag": sql_redirect_flag(),
         "mime_to_ext": sql_mime_to_ext(),
         "truncate_text": sql_truncate_text(),

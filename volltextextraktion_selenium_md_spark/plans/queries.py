@@ -233,12 +233,13 @@ def q_preflight_features(spark, sf_dir):
     app/preflight.py:99-110). The oracle is the g_pages feature bits
     plus the deterministic visible-text length formula — extracted
     must equal minted for every page."""
+    import pandas as pd
+
     from volltextextraktion_selenium_md_spark.functions.features import (
-        extract_features_stage,
+        FEATURES_FIELDS,
+        extract_features_one,
     )
     from volltextextraktion_selenium_md_spark.plans.convert import mint_payload
-
-    import pandas as pd
 
     _g(spark, sf_dir)
     rows = graph.pages(spark).filter(
@@ -247,17 +248,28 @@ def q_preflight_features(spark, sf_dir):
         "page_id", "content_type", "text_len", "has_main", "spa_mark",
         "js_required", "consent", "bot_wall", "rss_link",
     )
+    names = [f.name for f in FEATURES_FIELDS]
 
-    def mint(batches):
+    def mint_and_extract(batches):
+        # one fused pass: the HTML string never crosses an Arrow
+        # boundary — minted and parsed inside the same batch loop
         for pdf in batches:
-            html = [
-                mint_payload(r).decode("utf-8")
+            feats = [
+                extract_features_one(mint_payload(r).decode("utf-8"))
                 for r in pdf.to_dict("records")
             ]
-            yield pd.DataFrame({"page_id": pdf["page_id"], "html": html})
+            out = pd.DataFrame({"page_id": pdf["page_id"]})
+            for n in names:
+                out[n] = [f[n] for f in feats]
+            out["text_len"] = out["text_len"].astype("int32")
+            yield out
 
-    minted = rows.mapInPandas(mint, schema="page_id long, html string")
-    return extract_features_stage(minted, html_col="html", keep=["page_id"])
+    schema = (
+        "page_id long, text_len int, has_main boolean, spa_mark boolean, "
+        "js_required boolean, consent boolean, bot_wall boolean, "
+        "rss_link boolean"
+    )
+    return rows.mapInPandas(mint_and_extract, schema=schema)
 
 
 def q_fetch_route(spark, sf_dir):
@@ -432,6 +444,18 @@ def q_converter_route(spark, sf_dir):
     )
     out = convert_stage(rows, CrawlConfig())
     return out.select("page_id", "converter_used")
+
+
+def q_admission_control(spark, sf_dir):
+    """Bounded waiting room as a deterministic rank cut (reference
+    app/main.py:25-91: semaphore 8 + queue 50 -> 503 beyond); the
+    streaming twin (applyInPandasWithState) is equality-tested in
+    tests/test_streaming.py."""
+    from volltextextraktion_selenium_md_spark.streaming.admission import (
+        admission_control,
+    )
+
+    return admission_control(_events(spark, sf_dir))
 
 
 def q_llm_postprocess(spark, sf_dir):
