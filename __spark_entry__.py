@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "cosine_topk": Q.q_cosine_topk,
         "cosine_topk_lsh": Q.q_cosine_topk_lsh,
+        "ivf_topk": Q.q_ivf_topk,
         "embedding_near_dup": Q.q_embedding_near_dup,
         # end-to-end engine (rows-only; exactness via golden replay test)
         "crawl_full": Q.q_crawl_full,

@@ -152,3 +152,39 @@ def test_ua_rotation_deterministic_golden_pairs(spark):
     assert got == golden
     got2 = {r["url"]: UA_POOL.index(r["ua"]) for r in df.collect()}
     assert got2 == golden
+
+
+def test_ivf_exhaustive_equals_bruteforce(spark):
+    """IVF with nprobe == n_centroids probes every inverted list — the
+    result must equal exact brute-force top-k row-for-row."""
+    from volltextextraktion_selenium_md_spark.operators.simsearch import ivf_topk
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qids = list(range(8))
+    exact = sorted(
+        tuple(r) for r in cosine_topk_bruteforce(embs, qids, 5).collect()
+    )
+    ivf_all = sorted(
+        tuple(r)
+        for r in ivf_topk(embs, qids, 5, n_centroids=8, nprobe=8).collect()
+    )
+    assert ivf_all == exact and len(exact) == 40
+
+
+def test_ivf_recall_at_nprobe(spark):
+    """Probing 2 of 8 lists must retain useful recall vs brute force
+    (deterministic synthetic embeddings; measured, not assumed)."""
+    from volltextextraktion_selenium_md_spark.operators.simsearch import ivf_topk
+
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qids = list(range(8))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(embs, qids, 5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(embs, qids, 5, n_centroids=8, nprobe=2).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"

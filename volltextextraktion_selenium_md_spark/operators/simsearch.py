@@ -165,6 +165,126 @@ def cosine_topk_lsh(
     )
 
 
+# --- IVF (inverted-file) index: the k-means scale path ----------------------
+
+def _nearest_centroid(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster): argmin cosine distance to the (broadcast)
+    centroid table. Linear in N — each vector meets K centroid rows."""
+    c = F.broadcast(centroids.select(
+        F.col("cluster"), F.col("c_emb"), _norm(F.col("c_emb")).alias("c_norm"),
+    ))
+    joined = vectors.crossJoin(c)
+    cos = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cluster"))
+    return (
+        joined.withColumn("cos_c", F.round(cos, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cluster")
+    )
+
+
+def ivf_build(
+    embeddings: DataFrame, n_centroids: int = 16, lloyd_iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index: deterministic seeding (the K smallest vec_ids seed the
+    centroids) + `lloyd_iters` Lloyd rounds, entirely in DataFrame ops —
+    the element-wise centroid mean is posexplode -> groupBy(cluster,
+    pos) avg -> sort_array rebuild, one shuffle per iteration.
+
+    Returns (assignments(vec_id, cluster), centroids(cluster, c_emb)).
+    At 100 TB the assignment pass is a broadcast-join scan (no shuffle
+    of the corpus) and only K*dim doubles move per iteration."""
+    base = with_norm(embeddings.select("vec_id", "embedding"))
+    w_seed = Window.orderBy("vec_id")
+    centroids = (
+        base.orderBy("vec_id").limit(n_centroids)
+        .withColumn("cluster", F.row_number().over(w_seed) - 1)
+        .select("cluster", F.col("embedding").alias("c_emb"))
+    )
+    assign = None
+    for _ in range(max(lloyd_iters, 1)):
+        assign = _nearest_centroid(base, centroids)
+        members = base.join(assign, "vec_id")
+        means = (
+            members.select(
+                "cluster", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cluster",
+                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("c_emb"),
+            )
+        )
+        centroids = means
+    assign = _nearest_centroid(base, centroids)
+    return assign, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: probe the `nprobe` nearest inverted lists
+    per query, exact cosine within them. With nprobe == n_centroids the
+    search is exhaustive and equals the brute-force result exactly
+    (tests/test_operators.py) — the standard IVF recall/latency dial.
+    """
+    base = with_norm(embeddings)
+    assign, centroids = ivf_build(embeddings, n_centroids, lloyd_iters)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    # per-query probe list: nprobe nearest centroids
+    c = F.broadcast(centroids.select(
+        "cluster", "c_emb", _norm(F.col("c_emb")).alias("c_norm")
+    ))
+    qc = q.crossJoin(c).withColumn(
+        "cos_c",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cluster"))
+    probes = (
+        qc.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    # candidates = members of the probed lists
+    cand = (
+        F.broadcast(probes).join(assign, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    joined = cand.join(F.broadcast(q), "query_id").join(base, "vec_id")
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_emb")) / (F.col("norm") * F.col("q_norm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -579,6 +579,22 @@ def q_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN: deterministic-seeded k-means in pure
+    DataFrame ops, probe the nprobe nearest lists. Rows-only in the
+    gate (Lloyd iterations are not one SQL expression); pytest asserts
+    nprobe==K equals brute force exactly and measures recall at
+    nprobe=2 (tests/test_operators.py)."""
+    return simsearch.ivf_topk(
+        _embs(spark, sf_dir), COS_QUERY_IDS, COS_K,
+        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     return simsearch.cosine_near_dup_pairs(
         _embs(spark, sf_dir), NEAR_DUP_T, NEAR_PLANES, EMB_DIM, NEAR_TABLES
