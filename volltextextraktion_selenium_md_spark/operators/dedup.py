@@ -82,6 +82,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
 
+    VERIFICATION-SCALE ONLY: this is the exact oracle companion to the
+    MinHash-LSH path — the candidate-pair groupBy can still blow up on
+    giant near-dup clusters; at 100 TB run `minhash_lsh_pairs` /
+    `minhash_lsh_clusters` and sample-verify with this operator.
+
     intersection via shingle self-join (shuffle key = shingle — high
     cardinality, well distributed); union = |A|+|B|-|A∩B|.
     """
