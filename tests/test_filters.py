@@ -6,7 +6,11 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from volltextextraktion_selenium_md_spark.operators.filters import BloomFilter, CuckooFilter
+from volltextextraktion_selenium_md_spark.operators.filters import (
+    BloomFilter,
+    CuckooFilter,
+    ShardedCuckooFilter,
+)
 
 
 def _keys(n, seed=0):
@@ -71,6 +75,81 @@ def test_cuckoo_property_membership(xs):
     cf = CuckooFilter(max(len(xs) * 2, 64))
     cf.insert(arr)
     assert cf.contains(arr).all()
+
+
+def test_sharded_cuckoo_matches_driver_side(spark):
+    """cuckoo_update_df (executor-side per-shard delta application) is
+    byte-identical to the driver-side insert/delete path, and the driver
+    never receives key rows — only shard blobs."""
+    from pyspark.sql import functions as F
+
+    from volltextextraktion_selenium_md_spark.operators import seen as seen_ops
+
+    keys = _keys(3000, 11)
+    dels = keys[:400]
+
+    ref = ShardedCuckooFilter(1 << 14, n_shards=16)
+    ref.insert(keys)
+    ref.delete(dels)
+
+    got = ShardedCuckooFilter(1 << 14, n_shards=16)
+    ops = spark.createDataFrame(
+        [(int(k), "i") for k in keys] + [(int(k), "d") for k in dels],
+        "h1 long, op string",
+    )
+    seen_ops.cuckoo_update_df(got, ops)
+    assert got.to_bytes() == ref.to_bytes()
+    assert got.contains(keys[400:]).all()
+
+    rt = ShardedCuckooFilter.from_bytes(got.to_bytes())
+    assert rt.to_bytes() == got.to_bytes()
+    assert rt.contains(keys[400:]).all()
+
+
+def test_bloom_delta_fold_executor_side(spark):
+    """build_bloom_like folds a delta into an existing bloom without a
+    key collect; result contains base ∪ delta."""
+    from pyspark.sql import functions as F
+
+    from volltextextraktion_selenium_md_spark.operators import seen as seen_ops
+
+    base = seen_ops.with_hashes(
+        spark.range(0, 800).select(
+            F.concat(F.lit("b"), F.col("id").cast("string")).alias("url"))
+    )
+    delta = seen_ops.with_hashes(
+        spark.range(800, 1200).select(
+            F.concat(F.lit("b"), F.col("id").cast("string")).alias("url"))
+    )
+    bf = seen_ops.build_bloom(base, n_items=2400)
+    bf = seen_ops.build_bloom_like(delta, bf)
+    both = seen_ops.with_hashes(
+        spark.range(0, 1200).select(
+            F.concat(F.lit("b"), F.col("id").cast("string")).alias("url"))
+    ).select("h1", "h2").toPandas()
+    assert bf.contains(both["h1"].to_numpy(), both["h2"].to_numpy()).all()
+
+
+def test_seenset_delta_fold_executor_side(spark):
+    """SeenSet.fold_delta_df: after the fold, every base+delta key is
+    maybe_seen (no false negatives through the shard routing)."""
+    from pyspark.sql import functions as F
+
+    from volltextextraktion_selenium_md_spark.operators import seen as seen_ops
+
+    base = seen_ops.with_hashes(
+        spark.range(0, 900).select(
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("url"))
+    )
+    delta = seen_ops.with_hashes(
+        spark.range(900, 1400).select(
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("url"))
+    )
+    ss = seen_ops.SeenSet.build(base, n_items=2800, n_shards=8)
+    ss.fold_delta_df(delta)
+    new, maybe = ss.partitioned_prefilter(base.unionByName(delta))
+    assert new.count() == 0
+    assert maybe.count() == 1400
 
 
 def test_sharded_seenset_prefilter_8_shards(spark):

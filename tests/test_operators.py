@@ -19,6 +19,54 @@ from volltextextraktion_selenium_md_spark.operators.simsearch import (
 from volltextextraktion_selenium_md_spark.plans.convert import _Breaker, convert_bytes
 
 
+def test_label_propagation_log_convergence_and_guard(spark):
+    """ADVICE fix: pointer jumping makes a 64-node path converge in
+    O(log n) rounds (plain one-hop would need 63); non-convergence
+    raises instead of silently returning split clusters."""
+    import pytest
+
+    from volltextextraktion_selenium_md_spark.operators.dedup import (
+        _min_label_propagation,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("label")
+    )
+    out = _min_label_propagation(labels, sym, max_iters=10).collect()
+    assert {r["label"] for r in out} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _min_label_propagation(labels, sym, max_iters=2)
+
+
+def test_minhash_lsh_pairs_bucket_bound(spark):
+    """A degenerate bucket (K identical docs) yields candidates only
+    among the max_bucket smallest doc_ids — the candidate join is
+    bounded per bucket instead of K²/2."""
+    from volltextextraktion_selenium_md_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, body) for i in range(200)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket=8).collect()
+    ids = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    # all 200 docs are identical -> one bucket per band; only the 8
+    # smallest ids may pair, giving exactly C(8,2) pairs
+    assert ids == set(range(8))
+    assert len(pairs) == 28
+    # uncapped would be quadratic: C(200,2) pairs
+    assert len(minhash_lsh_pairs(docs, max_bucket=200).collect()) == 19900
+
+
 def test_first_seen_keeps_earliest(spark):
     df = spark.createDataFrame(
         [("u", 1, "b"), ("u", 0, "z"), ("u", 0, "a"), ("v", 5, "x")],

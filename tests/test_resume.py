@@ -15,7 +15,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from volltextextraktion_selenium_md_spark.config import CrawlConfig
-from volltextextraktion_selenium_md_spark.operators.filters import BloomFilter, CuckooFilter
+from volltextextraktion_selenium_md_spark.operators.filters import (
+    BloomFilter,
+    CuckooFilter,
+    ShardedCuckooFilter,
+)
 from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
 from volltextextraktion_selenium_md_spark.sources.lakehouse import (
     SnapshotStore,
@@ -163,6 +167,31 @@ def test_merge_into_crash_leaves_previous_manifest_live(spark, ckpt_dir):
     assert rows == {1: "a", 2: "b", 3: "c"}
 
 
+def test_merge_into_crash_after_data_rename(spark, ckpt_dir):
+    """ADVICE fix: a crash AFTER data dirs were renamed into
+    data/_part=K-v{N} but BEFORE the manifest-v{N} publish. The next
+    merge reuses version N; it must sweep the orphaned (unreferenced)
+    dirs instead of failing ENOTEMPTY on the rename."""
+    from volltextextraktion_selenium_md_spark.sources.lakehouse import (
+        PartitionedTable,
+    )
+
+    tgt = os.path.join(ckpt_dir, "ptab3")
+    t = PartitionedTable(tgt, "k", num_partitions=4)
+    t.merge(spark, spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    # simulate the crash window: a non-empty orphaned data dir for the
+    # NEXT version (as if rename succeeded, manifest write did not)
+    orphan = os.path.join(tgt, "data", "_part=0-v2")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage-from-crashed-attempt")
+    assert t.latest() == 1
+    # retried merge at v2 succeeds and reads stay consistent
+    t.merge(spark, spark.createDataFrame([(1, "A2"), (9, "z")], "k int, v string"))
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {1: "A2", 2: "b", 9: "z"}
+
+
 def test_filter_state_in_snapshot(spark, ckpt_dir):
     """Bloom filter bytes stored in the snapshot restore to an identical
     filter; cuckoo filter round-trips with deletes."""
@@ -222,8 +251,8 @@ def test_cuckoo_ledger_checkpoint_and_restore(spark, ckpt_dir):
     # permanently-failed urls were deleted: ledger holds fewer entries
     # than the seen table (404/missing pages exist in this graph)
     n_seen = store.read(spark, "seen").count()
-    occupied = int((np.frombuffer(want[8:8 + eng2.cuckoo.n_buckets * 8],
-                                  dtype=np.uint16) != 0).sum())
+    restored = ShardedCuckooFilter.from_bytes(want)
+    occupied = int(sum((s.table != 0).sum() for s in restored.shards))
     assert 0 < occupied < n_seen
 
 

@@ -61,17 +61,17 @@ def pick_user_agent(url: Column) -> Column:
 
 def normalize_proxy(proxy: Column) -> Column:
     """``normalize_proxy`` (app/utils.py:184-198): ''/'string' -> NULL,
-    scheme must be http/https/socks5/socks5h/socks4. The reference
-    urlparse-based check requires an actual '://' separator — a bare
-    scheme word like 'socks5' has no netloc and returns NULL."""
+    scheme must be http/https/socks5/socks5h/socks4. urlparse parity:
+    the scheme is whatever precedes the first ':' when it matches RFC
+    3986 scheme chars — no '://' required, so 'socks5:host:1080' is
+    accepted exactly as ``urlparse`` accepts it, while a bare scheme
+    word like 'socks5' (no colon, hence no scheme) returns NULL."""
     s = F.trim(F.coalesce(proxy, F.lit("")))
-    scheme = F.lower(F.split_part(s, F.lit("://"), F.lit(1)))
+    scheme = F.lower(F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     return F.when(
         (s == "") | (F.lower(s) == "string"), F.lit(None).cast("string")
     ).when(
-        s.contains("://")
-        & scheme.isin("http", "https", "socks5", "socks5h", "socks4"),
-        s,
+        scheme.isin("http", "https", "socks5", "socks5h", "socks4"), s
     ).otherwise(F.lit(None).cast("string"))
 
 

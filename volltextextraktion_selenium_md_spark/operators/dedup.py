@@ -160,22 +160,33 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """LSH banding: signature split into `bands` bands of r rows; docs
     sharing any band bucket become candidates; candidates verified by
     estimated Jaccard = fraction of equal minhash components.
 
-    Scale path: the band-bucket groupBy is the only wide op; bucket
-    keys are md5-mixed so they distribute; giant buckets (degenerate
-    near-dup clusters) are bounded by pairing only adjacent doc_ids per
-    bucket window in `minhash_lsh_clusters` (connected via
-    transitivity) rather than quadratic pair explosion."""
+    Scale bound: a degenerate bucket of K docs would otherwise emit
+    K²/2 candidate rows; per (band, bucket) only the `max_bucket`
+    smallest doc_ids participate in pairing (deterministic rank cut —
+    one window, mirrored in the DuckDB oracle), so the candidate join
+    is ≤ max_bucket²/2 per bucket. Pairs BETWEEN the cut and the rest
+    of a giant bucket are intentionally not enumerated — a cluster of
+    K near-identical docs doesn't need K²/2 explicit pairs; route
+    oversized components through `minhash_lsh_clusters` (star edges +
+    label propagation, linear in K)."""
     r = num_hashes // bands
     sig = minhash_signatures(documents, n, num_hashes).cache()
     banded = _banded(sig, num_hashes, bands)
+    wb = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
+        capped.alias("x")
+        .join(capped.alias("y"), ["band", "bucket"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
@@ -225,9 +236,12 @@ def minhash_lsh_clusters(
     A degenerate near-dup cluster of K docs in one bucket would cost
     K^2/2 rows as pairs; instead each (band, bucket) contributes STAR
     edges ``doc -> min(doc_id in bucket)`` (K rows), and connected
-    components are resolved by iterative min-label propagation — one
-    small shuffle per round, converging in O(log diameter) rounds with
-    a driver-side fixpoint check. Linkage is band-bucket co-occurrence
+    components are resolved by iterative min-label propagation WITH
+    pointer jumping (each round also takes label := label-of-label),
+    which converges in O(log diameter) rounds — two small shuffles per
+    round, driver-side fixpoint check. If the fixpoint is not reached
+    within ``max_iters`` the operator RAISES rather than silently
+    returning split components. Linkage is band-bucket co-occurrence
     (the standard LSH grouping criterion); cluster_id = min doc_id of
     the component.
 
@@ -248,16 +262,42 @@ def minhash_lsh_clusters(
     ).localCheckpoint(eager=False)
 
     labels = sig.select("doc_id", F.col("doc_id").alias("label"))
+    labels = _min_label_propagation(labels, sym, max_iters)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
+    )
+
+
+def _min_label_propagation(
+    labels: DataFrame, sym: DataFrame, max_iters: int
+) -> DataFrame:
+    """Connected components by min-label propagation + pointer jumping
+    over symmetric edges (src, dst). Raises on non-convergence."""
+    converged = False
     for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy("src").agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(neigh, labels.doc_id == neigh.src, "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # pointer jumping: label := label(label) — halves the distance
+        # to the component root each round (logarithmic convergence even
+        # on a path-shaped bucket chain)
+        hop = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("ll")
+        )
         new_labels = (
-            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            stepped.join(hop, on="label", how="left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("ll"), F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
@@ -267,12 +307,15 @@ def minhash_lsh_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
-    )
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iters} rounds "
+            f"— raise max_iters (components deeper than 2^{max_iters} edges "
+            f"are implausible for LSH bucket graphs)"
+        )
+    return labels
 
 
 # --- SimHash -----------------------------------------------------------------

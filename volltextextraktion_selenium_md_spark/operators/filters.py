@@ -135,8 +135,11 @@ class CuckooFilter:
                 return True
         idx = i1
         for _ in range(self.MAX_KICKS):
-            self._rng_state = (
-                self._rng_state * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+            # PCG step in python ints (explicit mod 2^64 — numpy scalar
+            # overflow would warn on the intended wraparound)
+            self._rng_state = np.uint64(
+                (int(self._rng_state) * 6364136223846793005
+                 + 1442695040888963407) % (1 << 64)
             )
             slot = int(self._rng_state >> np.uint64(59)) % self.SLOTS
             fp, self.table[idx][slot] = self.table[idx][slot], fp
@@ -190,3 +193,86 @@ class CuckooFilter:
         ).copy()
         obj._rng_state = np.frombuffer(raw[8 + n_buckets * cls.SLOTS * 2:], dtype=np.uint64)[0]
         return obj
+
+
+class ShardedCuckooFilter:
+    """N independent cuckoo shards routed by ``pmod(h1, n_shards)``.
+
+    Why sharding matters here and not just for blooms: bloom partials
+    OR-merge, so a delta fold never needs keys in one place — but
+    cuckoo insertion is stateful (kick chains), so updating ONE
+    monolithic table requires all keys wherever that table lives. With
+    disjoint shards, each shard's delta can be applied independently
+    executor-side (`engine: cuckoo_update_df`): a task receives one
+    shard's current bytes + that shard's delta rows and returns the
+    updated bytes. The driver only ever moves O(filter bytes), never
+    O(round-delta keys) — the 10^10-design-point requirement.
+
+    Deterministic: per-shard inserts/deletes are applied in sorted-h1
+    order and each shard has its own rng state, so blob bytes are
+    identical however the delta rows were partitioned upstream.
+    """
+
+    MAGIC = -847392  # first int64 of the blob; CuckooFilter blobs start
+                     # with n_buckets > 0, so the formats can't collide
+
+    def __init__(self, n_items: int, n_shards: int = 16):
+        self.n_shards = n_shards
+        per = max(n_items // n_shards, 4)
+        self.shards = [CuckooFilter(per) for _ in range(n_shards)]
+
+    def _route(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.int64)
+        return (np.mod(h, self.n_shards) + self.n_shards) % self.n_shards
+
+    def insert(self, h1: np.ndarray) -> int:
+        h1 = np.asarray(h1, dtype=np.int64)
+        sid = self._route(h1)
+        done = 0
+        for s in np.unique(sid):
+            done += self.shards[int(s)].insert(np.sort(h1[sid == s]))
+        return done
+
+    def delete(self, h1: np.ndarray) -> int:
+        h1 = np.asarray(h1, dtype=np.int64)
+        sid = self._route(h1)
+        done = 0
+        for s in np.unique(sid):
+            done += self.shards[int(s)].delete(np.sort(h1[sid == s]))
+        return done
+
+    def contains(self, h1: np.ndarray) -> np.ndarray:
+        h1 = np.asarray(h1, dtype=np.int64)
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        sid = self._route(h1)
+        out = np.zeros(len(h1), dtype=bool)
+        for s in np.unique(sid):
+            mask = sid == s
+            out[mask] = self.shards[int(s)].contains(h1[mask])
+        return out
+
+    def to_bytes(self) -> bytes:
+        parts = [np.array([self.MAGIC, self.n_shards], dtype=np.int64).tobytes()]
+        for bf in self.shards:
+            blob = bf.to_bytes()
+            parts.append(np.array([len(blob)], dtype=np.int64).tobytes())
+            parts.append(blob)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "ShardedCuckooFilter":
+        magic, n_shards = np.frombuffer(raw[:16], dtype=np.int64)
+        assert magic == cls.MAGIC, "not a ShardedCuckooFilter blob"
+        obj = cls.__new__(cls)
+        obj.n_shards = int(n_shards)
+        obj.shards = []
+        off = 16
+        for _ in range(obj.n_shards):
+            blen = int(np.frombuffer(raw[off:off + 8], dtype=np.int64)[0])
+            off += 8
+            obj.shards.append(CuckooFilter.from_bytes(raw[off:off + blen]))
+            off += blen
+        return obj
+
+

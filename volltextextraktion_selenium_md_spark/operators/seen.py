@@ -35,21 +35,21 @@ def with_hashes(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("h1", url_hash(url_col)).withColumn("h2", url_hash2(url_col))
 
 
-def build_bloom(seen: DataFrame, n_items: int, fp_rate: float = 0.01) -> BloomFilter:
-    """Distributed bloom build in the DataFrame layer (SURVEY §1.4
-    'DataFrame everywhere'): one numpy bloom per partition built inside
-    an Arrow-batched ``mapInPandas`` pass, partial bitsets returned as
-    one binary row per partition; the driver ORs ~P small bitsets and
-    never sees a key. (``df.stat.bloomFilter`` exists but yields a JVM
-    object the Python filters can't consume or serialize.)"""
-    m_probe = BloomFilter(n_items, fp_rate)  # fixes (m, k) for all partials
+def build_bloom_like(df: DataFrame, proto: BloomFilter) -> BloomFilter:
+    """Distributed bloom build with ``proto``'s (m, k): one numpy bloom
+    per partition built inside an Arrow-batched ``mapInPandas`` pass,
+    partial bitsets returned as one binary row per partition; the driver
+    ORs ~P small bitsets and never sees a key — the collect is O(filter
+    bytes), never O(rows). Used both for full builds and for folding a
+    round's DELTA into an existing filter (``proto.union(result)``)."""
+    m, k, nbits = proto.m, proto.k, len(proto.bits)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         bf = BloomFilter.__new__(BloomFilter)
-        bf.m, bf.k = m_probe.m, m_probe.k
-        bf.bits = np.zeros_like(m_probe.bits)
+        bf.m, bf.k = m, k
+        bf.bits = np.zeros(nbits, dtype=np.uint64)
         n = 0
         for pdf in batches:
             bf.add(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
@@ -57,11 +57,18 @@ def build_bloom(seen: DataFrame, n_items: int, fp_rate: float = 0.01) -> BloomFi
         if n:
             yield pd.DataFrame({"blob": [bf.to_bytes()]})
 
-    rows = seen.select("h1", "h2").mapInPandas(partial, schema="blob binary").collect()
-    merged = m_probe  # empty filter with the agreed (m, k)
+    rows = df.select("h1", "h2").mapInPandas(partial, schema="blob binary").collect()
+    merged = proto
     for r in rows:
         merged = merged.union(BloomFilter.from_bytes(bytes(r["blob"])))
     return merged
+
+
+def build_bloom(seen: DataFrame, n_items: int, fp_rate: float = 0.01) -> BloomFilter:
+    """Distributed bloom build in the DataFrame layer (SURVEY §1.4
+    'DataFrame everywhere'). (``df.stat.bloomFilter`` exists but yields
+    a JVM object the Python filters can't consume or serialize.)"""
+    return build_bloom_like(seen, BloomFilter(n_items, fp_rate))
 
 
 def bloom_prefilter(candidates: DataFrame, bloom: BloomFilter) -> DataFrame:
@@ -116,37 +123,69 @@ class SeenSet:
         self.n_shards = n_shards
 
     @classmethod
+    def _shard_partials(
+        cls, df: DataFrame, proto: BloomFilter, n_shards: int
+    ) -> dict[int, BloomFilter]:
+        """Per-(task, shard) partial blooms via mapInPandas: each task
+        builds bitsets only for the shards of the rows it streams
+        through — no task ever materializes a full shard's keys (at the
+        10^10 design point a whole shard is tens of GiB of keys; an
+        Arrow batch is ~10^4 rows). The driver ORs partials per shard:
+        collect size = O(n_partials × shard_bytes), never O(keys)."""
+        import numpy as np
+
+        m, k, nbits = proto.m, proto.k, len(proto.bits)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local: dict[int, BloomFilter] = {}
+            for pdf in batches:
+                h1 = pdf["h1"].to_numpy()
+                h2 = pdf["h2"].to_numpy()
+                sid = (np.mod(h1, n_shards) + n_shards) % n_shards
+                for s in np.unique(sid):
+                    bf = local.get(int(s))
+                    if bf is None:
+                        bf = BloomFilter.__new__(BloomFilter)
+                        bf.m, bf.k = m, k
+                        bf.bits = np.zeros(nbits, dtype=np.uint64)
+                        local[int(s)] = bf
+                    mask = sid == s
+                    bf.add(h1[mask], h2[mask])
+            for s, bf in local.items():
+                yield pd.DataFrame({"shard": [s], "blob": [bf.to_bytes()]})
+
+        # route rows to their shard first so most tasks emit ONE partial
+        rows = (
+            df.select("h1", "h2")
+            .repartition(max(n_shards, 1), F.pmod(F.col("h1"), F.lit(n_shards)))
+            .mapInPandas(partials, schema="shard int, blob binary")
+            .collect()
+        )
+        out: dict[int, BloomFilter] = {}
+        for r in rows:
+            bf = BloomFilter.from_bytes(bytes(r["blob"]))
+            cur = out.get(r["shard"])
+            out[r["shard"]] = bf if cur is None else cur.union(bf)
+        return out
+
+    @classmethod
     def build(
         cls, seen: DataFrame, n_items: int, n_shards: int, fp_rate: float = 0.01
     ) -> "SeenSet":
-        """Distributed sharded build: repartition seen by shard id, one
-        numpy bloom per shard built executor-side (applyInPandas), the
-        driver receives only (shard_id, bitset) pairs."""
-        import numpy as np
-
+        """Distributed sharded build; the driver receives only
+        (shard_id, bitset) pairs."""
         per_shard = max(n_items // n_shards, 64)
         probe = BloomFilter(per_shard, fp_rate)  # fixes (m, k) per shard
+        return cls(cls._shard_partials(seen, probe, n_shards), n_shards)
 
-        def one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            bf = BloomFilter.__new__(BloomFilter)
-            bf.m, bf.k = probe.m, probe.k
-            bf.bits = np.zeros_like(probe.bits)
-            bf.add(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
-            return pd.DataFrame(
-                {"shard": [int(pdf["shard"].iloc[0])], "blob": [bf.to_bytes()]}
-            )
-
-        keyed = seen.select(
-            F.pmod(F.col("h1"), F.lit(n_shards)).cast("int").alias("shard"),
-            "h1", "h2",
-        )
-        rows = (
-            keyed.groupBy("shard")
-            .applyInPandas(one_shard, schema="shard int, blob binary")
-            .collect()
-        )
-        shards = {r["shard"]: BloomFilter.from_bytes(bytes(r["blob"])) for r in rows}
-        return cls(shards, n_shards)
+    def fold_delta_df(self, delta: DataFrame) -> None:
+        """Fold a round's (h1, h2) delta in WITHOUT collecting keys to
+        the driver: per-shard partial blooms built executor-side, then
+        OR-merged into the existing shard bitsets."""
+        proto = next(iter(self.shards.values()))
+        for s, bf in self._shard_partials(delta, proto, self.n_shards).items():
+            cur = self.shards.get(s)
+            self.shards[s] = bf if cur is None else cur.union(bf)
 
     # -- (de)serialization: shard blobs live alongside the snapshot ----
     def to_bytes(self) -> bytes:
@@ -172,28 +211,6 @@ class SeenSet:
             shards[int(s)] = BloomFilter.from_bytes(raw[off:off + blen])
             off += blen
         return cls(shards, int(n_shards))
-
-    def add(self, h1, h2) -> None:
-        """Driver-side delta insert (checkpoint refresh): route each key
-        to its shard bloom."""
-        import numpy as np
-
-        h1 = np.asarray(h1, dtype=np.int64)
-        h2 = np.asarray(h2, dtype=np.int64)
-        sid = (np.mod(h1, self.n_shards) + self.n_shards) % self.n_shards
-        proto = next(iter(self.shards.values()))
-        for s in np.unique(sid):
-            bf = self.shards.get(int(s))
-            if bf is None:
-                # shard had no keys at build time — materialize it now
-                # (missing it would let seen rows bypass the anti-join
-                # after a resume)
-                bf = BloomFilter.__new__(BloomFilter)
-                bf.m, bf.k = proto.m, proto.k
-                bf.bits = np.zeros_like(proto.bits)
-                self.shards[int(s)] = bf
-            mask = sid == s
-            bf.add(h1[mask], h2[mask])
 
     def partitioned_prefilter(
         self, candidates: DataFrame
@@ -244,6 +261,61 @@ class SeenSet:
             marked.filter(~F.col("maybe_seen")).select(*cols),
             marked.filter(F.col("maybe_seen")).select(*cols),
         )
+
+
+def cuckoo_update_df(cuckoo, ops: DataFrame):
+    """Apply a round's ledger delta to a ShardedCuckooFilter WITHOUT
+    collecting keys to the driver.
+
+    ``ops``: (h1 long, op string) with op ∈ {'i', 'd'} (insert on
+    first-seen, delete on permanent failure — north rule). Each shard's
+    current bytes are broadcast; one executor task per touched shard
+    applies its sorted inserts then sorted deletes and returns the
+    updated bytes. Driver traffic = O(touched_shards × shard_bytes).
+    Byte-identical to the driver-side ``insert``/``delete`` path (same
+    per-shard sorted order, same per-shard rng state)."""
+    from volltextextraktion_selenium_md_spark.operators.filters import (
+        CuckooFilter,
+        ShardedCuckooFilter,
+    )
+
+    assert isinstance(cuckoo, ShardedCuckooFilter)
+    spark = ops.sparkSession
+    b = spark.sparkContext.broadcast(
+        {s: bf.to_bytes() for s, bf in enumerate(cuckoo.shards)}
+    )
+    n_shards = cuckoo.n_shards
+
+    def one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        s = int(pdf["shard"].iloc[0])
+        bf = CuckooFilter.from_bytes(b.value[s])
+        ins = pdf.loc[pdf["op"] == "i", "h1"].to_numpy(dtype=np.int64)
+        if len(ins):
+            bf.insert(np.sort(ins))
+        dels = pdf.loc[pdf["op"] == "d", "h1"].to_numpy(dtype=np.int64)
+        if len(dels):
+            bf.delete(np.sort(dels))
+        return pd.DataFrame({"shard": [s], "blob": [bf.to_bytes()]})
+
+    rows = (
+        ops.select(
+            F.pmod(F.col("h1"), F.lit(n_shards)).cast("int").alias("shard"),
+            "h1", "op",
+        )
+        .groupBy("shard")
+        .applyInPandas(one_shard, schema="shard int, blob binary")
+        .collect()
+    )
+    from volltextextraktion_selenium_md_spark.operators.filters import (
+        CuckooFilter as _CF,
+    )
+
+    for r in rows:
+        cuckoo.shards[r["shard"]] = _CF.from_bytes(bytes(r["blob"]))
+    b.unpersist()
+    return cuckoo
 
 
 def filter_unseen(

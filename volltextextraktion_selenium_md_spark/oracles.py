@@ -427,8 +427,8 @@ def sql_proxy_normalize() -> str:
 SELECT page_id, proxy,
   CASE
     WHEN trim(proxy) = '' OR lower(trim(proxy)) = 'string' THEN NULL
-    WHEN trim(proxy) LIKE '%://%'
-         AND lower(split_part(trim(proxy), '://', 1)) IN ({schemes})
+    WHEN lower(regexp_extract(trim(proxy), '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+         IN ({schemes})
       THEN trim(proxy)
     ELSE NULL
   END AS proxy_norm
@@ -717,9 +717,16 @@ def sql_minhash_lsh_pairs() -> str:
 WITH sh AS ({SHINGLES}),
 sig AS (SELECT doc_id, {", ".join(_minhash_aggs())} FROM sh GROUP BY doc_id),
 banded AS ({bands}),
+capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket,
+           row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= {Q.LSH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM banded x JOIN banded y
+  FROM capped x JOIN capped y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 )
 SELECT doc_a, doc_b,

@@ -115,20 +115,55 @@ LIVE_FETCH_SCHEMA = (
     "backoff_ms int, error string, partition_id int"
 )
 
+# browser header fingerprint the reference sends with every request
+# (app/http_fetcher.py:10-21 DEFAULT_HEADERS)
+DEFAULT_HEADERS = {
+    "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,"
+              "image/avif,image/webp,*/*;q=0.8",
+    "Accept-Language": "de-DE,de;q=0.9,en-US;q=0.8,en;q=0.7",
+    "Cache-Control": "no-cache",
+    "Pragma": "no-cache",
+    "Upgrade-Insecure-Requests": "1",
+    "Sec-Fetch-Dest": "document",
+    "Sec-Fetch-Mode": "navigate",
+    "Sec-Fetch-Site": "none",
+    "Sec-Fetch-User": "?1",
+}
+
 
 def _httpx_transport_factory():  # pragma: no cover — needs network
-    """Default transport: ONE httpx client per partition (connection /
-    keep-alive reuse across that partition's rows — the distributed
-    analogue of the reference's per-request AsyncClient with
-    max_keepalive_connections=4, http_fetcher.py:39-52)."""
+    """Default transport: one httpx client PER THREAD (thread-local) —
+    keep-alive/connection reuse like the reference's AsyncClient with
+    max_keepalive_connections=4 (http_fetcher.py:39-52), safe under the
+    stage's intra-partition thread pool. Parity details (round-2
+    ADVICE): the full browser DEFAULT_HEADERS set is sent, the cookie
+    jar is cleared before every request (the reference builds a fresh
+    AsyncClient — fresh jar — per request), and all clients close when
+    the partition's iterator is exhausted (``call.close``)."""
+    import threading
+
     import httpx
 
-    client = httpx.Client(follow_redirects=True, http2=True,
-                          cookies=httpx.Cookies())
+    local = threading.local()
+    clients: list = []
+    lock = threading.Lock()
+
+    def _client():
+        c = getattr(local, "client", None)
+        if c is None:
+            c = httpx.Client(follow_redirects=True, http2=True)
+            local.client = c
+            with lock:
+                clients.append(c)
+        return c
 
     def call(url: str, user_agent: str, timeout_s: float, max_bytes: int):
+        client = _client()
+        client.cookies.clear()  # per-request fresh jar (reference parity)
         with client.stream(
-            "GET", url, headers={"User-Agent": user_agent}, timeout=timeout_s
+            "GET", url,
+            headers={**DEFAULT_HEADERS, "User-Agent": user_agent},
+            timeout=timeout_s,
         ) as resp:
             buf = bytearray()
             for chunk in resp.iter_bytes():
@@ -142,6 +177,13 @@ def _httpx_transport_factory():  # pragma: no cover — needs network
                 resp.headers.get("content-type"),
             )
 
+    def close():
+        with lock:
+            for c in clients:
+                c.close()
+            clients.clear()
+
+    call.close = close
     return call
 
 
@@ -151,9 +193,11 @@ def live_fetch(
     transport_factory=None,
     num_partitions: int | None = None,
     timeout_s: float = 10.0,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Real network fetch stage behind the flag: salted repartition ->
-    mapInPandas with a per-partition client.
+    mapInPandas with a per-partition client and an intra-partition
+    thread pool.
 
     Faithful to the reference fast path (``http_fetcher.py:24-87``):
     - per-row 5-tuple ``(status, final_url, bytes, ctype, truncated)``
@@ -165,12 +209,20 @@ def live_fetch(
     - ``max_bytes`` byte-budget cut + ``truncated`` flag (``:71-79``)
     - retries exhausted -> status NULL + ``error`` (the engine maps it
       to a terminal failure like main.py's 502/504 translation)
+    - ``cfg.fetch_concurrency`` requests in flight per partition (the
+      reference's async httpx under an 8-slot semaphore,
+      ``app/main.py:27-28``): a network-bound crawl must not be capped
+      at one in-flight request per core. Each Arrow batch fans out to a
+      thread pool; output row ORDER within the batch is preserved, so
+      the stage stays deterministic for everything downstream.
 
     ``transport_factory() -> callable(url, ua, timeout_s, max_bytes) ->
-    (status, final_url, bytes, ctype)`` is injectable; the default is
-    httpx. Hot hosts are salted across partitions FIRST — this stage,
-    unlike the simulated equi-join, really does one network call per
-    row, so a Zipf host would otherwise pin one executor."""
+    (status, final_url, bytes, ctype)`` is injectable (optionally with a
+    ``.close()`` attribute, called when the partition is exhausted); the
+    default is httpx. Hot hosts are salted across partitions FIRST —
+    this stage really does one network call per row, so a Zipf host
+    would otherwise pin one executor. ``passthrough`` columns ride
+    along untouched (the engine passes priority/h1/h2/slot)."""
     import pandas as pd
 
     from volltextextraktion_selenium_md_spark.operators.politeness import (
@@ -193,50 +245,67 @@ def live_fetch(
     salted = salted_repartition(admitted, nparts)
     salted = salted.withColumn("user_agent", pick_user_agent(F.col("url")))
     retries, max_bytes = cfg.retries, cfg.max_bytes
-    keep = ["url", "host", "depth", "lineage", "attempt", "user_agent"]
+    pool_size = max(int(cfg.fetch_concurrency), 1)
+    passthrough = list(passthrough or [])
+    keep = ["url", "host", "depth", "lineage", "attempt", "user_agent"] + passthrough
 
     def run(batches):
+        from concurrent.futures import ThreadPoolExecutor
+
         transport = transport_factory()  # one client per partition
-        for pdf in batches:
-            out = {k: [] for k in keep + [
-                "status_code", "final_url", "payload", "content_type",
-                "truncated", "attempts_used", "backoff_ms", "error"]}
-            for row in pdf.to_dict("records"):
-                status = final_url = ctype = None
-                data = b""
-                backoff_ms = 0
-                used = 0
-                err = None
-                for attempt in range(retries + 1):
-                    used = attempt + 1
-                    try:
-                        status, final_url, data, ctype = transport(
-                            row["url"], row["user_agent"], timeout_s, max_bytes
-                        )
-                        err = None
-                        break
-                    except Exception as exc:  # retry on transport errors only
-                        err = f"{type(exc).__name__}: {exc}"
-                        backoff_ms += min(2 ** attempt, 5) * 1000
-                truncated = len(data) > max_bytes
-                if truncated:
-                    data = data[:max_bytes]
-                for k in keep:
-                    out[k].append(row[k])
-                out["status_code"].append(status)
-                out["final_url"].append(final_url)
-                out["payload"].append(data if err is None else None)
-                out["content_type"].append(ctype)
-                out["truncated"].append(truncated)
-                out["attempts_used"].append(used)
-                out["backoff_ms"].append(backoff_ms)
-                out["error"].append(err)
-            res = pd.DataFrame(out)
-            res["status_code"] = pd.array(out["status_code"], dtype="Int32")
-            yield res
+
+        def fetch_one(row):
+            status = final_url = ctype = None
+            data = b""
+            backoff_ms = 0
+            used = 0
+            err = None
+            for attempt in range(retries + 1):
+                used = attempt + 1
+                try:
+                    status, final_url, data, ctype = transport(
+                        row["url"], row["user_agent"], timeout_s, max_bytes
+                    )
+                    err = None
+                    break
+                except Exception as exc:  # retry on transport errors only
+                    err = f"{type(exc).__name__}: {exc}"
+                    backoff_ms += min(2 ** attempt, 5) * 1000
+            truncated = len(data) > max_bytes
+            if truncated:
+                data = data[:max_bytes]
+            return (status, final_url, data if err is None else None, ctype,
+                    truncated, used, backoff_ms, err)
+
+        try:
+            with ThreadPoolExecutor(max_workers=pool_size) as pool:
+                for pdf in batches:
+                    rows = pdf.to_dict("records")
+                    # pool.map preserves input order — per-row results
+                    # land in frontier order regardless of completion
+                    # order, keeping the stage deterministic
+                    results = list(pool.map(fetch_one, rows))
+                    out = {k: [r[k] for r in rows] for k in keep}
+                    (out["status_code"], out["final_url"], out["payload"],
+                     out["content_type"], out["truncated"],
+                     out["attempts_used"], out["backoff_ms"], out["error"]) = (
+                        [list(col) for col in zip(*results)] if results
+                        else [[] for _ in range(8)]
+                    )
+                    res = pd.DataFrame(out)
+                    res["status_code"] = pd.array(out["status_code"], dtype="Int32")
+                    yield res
+        finally:
+            close = getattr(transport, "close", None)
+            if close is not None:
+                close()
 
     import pyspark.sql.functions as SF
 
+    pt_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in salted.schema.fields if f.name in passthrough
+    )
     return salted.select(*keep).mapInPandas(
-        run, schema=LIVE_FETCH_SCHEMA.replace(", partition_id int", "")
+        run, schema=LIVE_FETCH_SCHEMA.replace(", partition_id int", "") + pt_schema
     ).withColumn("partition_id", SF.spark_partition_id())

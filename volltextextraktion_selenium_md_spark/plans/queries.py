@@ -38,6 +38,7 @@ JACCARD_T = 0.3
 MINHASH_H = 8
 MINHASH_BANDS = 4
 LSH_EST_T = 0.25
+LSH_MAX_BUCKET = 64
 SIMHASH_MAX_HAMMING = 3
 COS_QUERY_IDS = list(range(10))
 COS_K = 5
@@ -546,7 +547,7 @@ def q_minhash_signatures(spark, sf_dir):
 def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), n=3, num_hashes=MINHASH_H,
-        bands=MINHASH_BANDS, threshold=LSH_EST_T,
+        bands=MINHASH_BANDS, threshold=LSH_EST_T, max_bucket=LSH_MAX_BUCKET,
     )
 
 
@@ -684,7 +685,7 @@ FROM g_pages
 PROXY_CASES_BODY = """
 SELECT
   page_id,
-  CASE page_id % 9
+  CASE page_id % 11
     WHEN 0 THEN ''
     WHEN 1 THEN 'string'
     WHEN 2 THEN 'http://proxy.example.com:8080'
@@ -693,6 +694,8 @@ SELECT
     WHEN 5 THEN 'ftp://not-a-proxy:21'
     WHEN 6 THEN 'no-scheme-at-all:9999'
     WHEN 7 THEN 'socks5'
+    WHEN 8 THEN 'socks5:host:1080'
+    WHEN 9 THEN 'HTTP://UPPER.example.com:3128'
     ELSE '  https://padded.example.com:443  ' END AS proxy
 FROM g_pages
 """

@@ -189,12 +189,23 @@ class PartitionedTable:
             merged = batch
         staging = os.path.join(self.root, f".staging-v{version}")
         merged.write.partitionBy("_part").mode("overwrite").parquet(staging)
+        # crash-recovery sweep: a previous attempt at THIS version may
+        # have renamed some data dirs into place and died before
+        # publishing the manifest. Those `_part=K-v{version}` dirs are
+        # unreferenced by construction (manifests only ever point at
+        # dirs of their own, smaller, version) — remove them, or the
+        # os.rename below would fail ENOTEMPTY and wedge the table.
+        data_dir = os.path.join(self.root, "data")
+        suffix = f"-v{version}"
+        for name in os.listdir(data_dir):
+            if name.endswith(suffix):
+                shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
         files = dict(man["files"])
         for t in touched:
             src = os.path.join(staging, f"_part={t}")
             dst_name = f"_part={t}-v{version}"
             if os.path.exists(src):
-                os.rename(src, os.path.join(self.root, "data", dst_name))
+                os.rename(src, os.path.join(data_dir, dst_name))
                 files[str(t)] = dst_name
         shutil.rmtree(staging, ignore_errors=True)
         new_man = {"files": files, "p": self.p, "version": version,
