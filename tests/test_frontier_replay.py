@@ -11,7 +11,7 @@ from volltextextraktion_selenium_md_spark.config import CrawlConfig
 from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
 from volltextextraktion_selenium_md_spark.replay import replay_crawl
 
-KEY = ("ordinal", "round", "url", "depth", "lineage", "attempt", "outcome")
+KEY = ("ordinal", "round", "url", "depth", "lineage", "mode", "attempt", "outcome")
 
 
 def _spark_order(res):
@@ -35,6 +35,9 @@ def test_crawl_order_and_seen_exact_match(spark, use_bloom):
     res = CrawlEngine(spark, SF_SMALL, cfg, use_bloom=use_bloom).run()
     assert _spark_order(res) == _gold_order(rep)
     assert {r["url"] for r in res.seen.collect()} == rep.seen
+    # the seed list mixes fast/js/auto modes — the per-request mode
+    # column must ride through the whole crawl, not collapse to 'auto'
+    assert {g["mode"] for g in rep.crawl_order} == {"fast", "js", "auto"}
 
 
 def test_tight_budget_and_retries_still_match(spark):
@@ -82,6 +85,66 @@ def test_payload_invariants(spark):
             assert codec.psnr(src, got) >= 40.0       # lossy invariant
         assert r["caption"] == codec.synth_caption(key)   # caption equality
         assert r["phash"] == codec.average_hash(src)
+
+
+def test_live_fetch_mode_engine_replay_match(spark):
+    """fetch_mode='live': the real network stage (mock transport serving
+    the SAME deterministic graph as minted HTML-with-anchors) inside the
+    engine loop — robots, budget, slots, seen-set, status retries and
+    ordering are shared code; children come from payload link
+    extraction. The fetch_log must match the golden replay row for row
+    (live has no page table, so replay's 'missing' is live's terminal
+    'failed' — the only mapped difference)."""
+    from volltextextraktion_selenium_md_spark.replay import _load_graph
+
+    cfg = CrawlConfig()
+    rep = replay_crawl(SF_SMALL, cfg)
+    pages, links, _seeds, _robots = _load_graph(SF_SMALL)
+
+    def make_factory(pages=pages, links=links):
+        def factory():
+            def call(url, user_agent, timeout_s, max_bytes):
+                page = pages.get(url)
+                if page is None:
+                    raise ConnectionError("no such host")
+                ctype = page["content_type"]
+                if ctype.startswith("text/html"):
+                    anchors = "".join(
+                        f"<a href='{raw}'>link</a>"
+                        for _pos, raw, _h in links.get(page["page_id"], [])
+                    )
+                    body = f"<html><body><main>page</main>{anchors}</body></html>"
+                    payload = body.encode()
+                else:
+                    payload = b"binarybody"
+                return page["status"], page["final_url"], payload, ctype
+            return call
+        return factory
+
+    res = CrawlEngine(
+        spark, SF_SMALL, cfg, fetch_mode="live",
+        transport_factory=make_factory(),
+    ).run()
+    got = _spark_order(res)
+    want = [
+        tuple(
+            ("failed" if (k == "outcome" and g[k] == "missing") else g[k])
+            for k in KEY
+        )
+        for g in rep.crawl_order
+    ]
+    assert got == want
+    assert {r["url"] for r in res.seen.collect()} == rep.seen
+    # mode dispatch ran end-to-end: fast rows routed to httpx, js rows
+    # to selenium, auto rows classified from the REAL payload bytes
+    routes = {
+        (r["mode"], r["route"])
+        for r in res.fetch_log.filter("outcome = 'fetched'")
+        .select("mode", "route").distinct().collect()
+    }
+    assert ("fast", "httpx") in routes and ("js", "selenium") in routes
+    assert any(m == "auto" and r in ("preflight_bytes", "selenium")
+               for m, r in routes)
 
 
 def test_lazy_fetch_checkpoint_still_exact(spark):

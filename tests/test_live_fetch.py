@@ -102,6 +102,48 @@ def test_live_fetch_flaky_retry_backoff(spark):
     assert got["error"] is None
 
 
+def test_live_fetch_concurrent_within_partition(spark):
+    """cfg.fetch_concurrency > 1: requests within one partition overlap
+    in flight (reference: async httpx under the 8-slot semaphore,
+    app/main.py:27-28) while output rows stay per-row correct and in
+    frontier order."""
+    from volltextextraktion_selenium_md_spark.plans.fetch import live_fetch
+
+    def factory():
+        import threading
+
+        lock = threading.Lock()
+        state = {"in_flight": 0, "max_in_flight": 0}
+        gate = threading.Barrier(2, timeout=20)  # needs 2 overlapping calls
+
+        def call(url, user_agent, timeout_s, max_bytes):
+            with lock:
+                state["in_flight"] += 1
+                state["max_in_flight"] = max(
+                    state["max_in_flight"], state["in_flight"]
+                )
+            try:
+                gate.wait()  # blocks until a SECOND request is in flight
+            finally:
+                with lock:
+                    state["in_flight"] -= 1
+            return 200, url, f"peak={state['max_in_flight']}".encode(), "text/html"
+
+        return call
+
+    urls = [f"https://conc.example.com/p{i}" for i in range(6)]
+    got = live_fetch(
+        _frontier(spark, urls), CrawlConfig(fetch_concurrency=3),
+        transport_factory=factory, num_partitions=1,
+    ).collect()
+    assert len(got) == 6
+    assert {r["url"] for r in got} == set(urls)  # none dropped/duplicated
+    # every call observed >= 2 requests in flight (the barrier released)
+    for r in got:
+        assert r["status_code"] == 200 and r["error"] is None
+        assert int(bytes(r["payload"]).split(b"=")[1]) >= 2
+
+
 def test_live_fetch_salts_hot_host(spark):
     """A Zipf-hot host must spread across partitions before the fetch
     (salted_repartition is part of the stage)."""

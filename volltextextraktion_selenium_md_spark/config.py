@@ -32,6 +32,11 @@ class CrawlConfig:
     # [1 KiB, 100 MiB], app/schemas.py:156-169)
     max_bytes: int = 10 * 1024 * 1024
 
+    # in-flight requests per partition in live_fetch (the reference's
+    # async httpx under an 8-slot semaphore, app/main.py:27-28) —
+    # network-bound crawling must not cap at 1 request per core
+    fetch_concurrency: int = 8
+
     # payload-size multiplier for minted bodies (1 = oracle-checked
     # test scale; scale benchmarks raise it so per-page convert cost is
     # web-realistic — real pages are tens of KB, real images hundreds

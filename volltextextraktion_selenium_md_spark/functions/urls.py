@@ -82,6 +82,43 @@ def url_join(base: pd.Series, href: pd.Series) -> pd.Series:
     )
 
 
+_A_TAG_RE = None  # compiled lazily (module import stays regex-free)
+
+
+def extract_links_one(html: str, base_url: str) -> list[tuple[int, str, str | None]]:
+    """Anchor extraction from HTML bytes in DOCUMENT ORDER, mirroring
+    the reference's ``extract_links_detailed_from_html``
+    (``app/utils.py:126-155``: BS4 ``find_all('a', href=True)``, href
+    stripped, text collapsed, ``urljoin(base_url, href)``). Returns
+    1-based ``(doc_pos, absolute_url, text)`` — doc_pos is the anchor's
+    ORIGINAL document position; per-page dedup is NOT done here (the
+    engine's first-seen dedup downstream keeps the first occurrence,
+    which is exactly the reference's order-preserving set walk)."""
+    global _A_TAG_RE
+    import re
+
+    if _A_TAG_RE is None:
+        _A_TAG_RE = (
+            re.compile(r"<a\b([^>]*)>(.*?)</a\s*>", re.S | re.I),
+            re.compile(r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I),
+            re.compile(r"<[^>]+>"),
+        )
+    a_re, href_re, tag_re = _A_TAG_RE
+    out = []
+    pos = 0
+    for m in a_re.finditer(html):
+        hm = href_re.search(m.group(1))
+        if hm is None:
+            continue
+        href = (hm.group(1) or hm.group(2) or hm.group(3) or "").strip()
+        if not href:
+            continue
+        pos += 1
+        text = " ".join(tag_re.sub(" ", m.group(2)).split()) or None
+        out.append((pos, urljoin(base_url, href) if base_url else href, text))
+    return out
+
+
 def url_host(col: Column | str) -> Column:
     """Hostname of a URL, lowercased (reference uses
     ``urlparse(...).hostname``, which lowercases)."""

@@ -127,7 +127,11 @@ SELECT
     WHEN 1 THEN p.url || '/'
     ELSE p.url || '#top' END AS raw_url,
   p.url AS url,
-  p.host AS host
+  p.host AS host,
+  CASE s.seed_idx % 5
+    WHEN 0 THEN 'fast'
+    WHEN 1 THEN 'js'
+    ELSE 'auto' END AS mode
 FROM (
   SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS seed_idx,
          CAST(c_custkey % 3 AS INT) AS priority,
@@ -277,6 +281,7 @@ def mirror_seeds(seeds_df: DataFrame, R: int, id_span: int) -> DataFrame:
         _rewrite_host_str(F.col("raw_url")).alias("raw_url"),
         _rewrite_host_str(F.col("url")).alias("url"),
         _rewrite_host_str(F.col("host")).alias("host"),
+        "mode",
     )
 
 

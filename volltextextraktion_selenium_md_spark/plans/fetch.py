@@ -51,7 +51,11 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     )
     joined = admitted.join(page_cols, on="url", how="left")
 
-    strategy = classify_strategy(
+    # per-request mode dispatch (reference schemas.py:85-104, dispatch
+    # app/main.py:315-391): preflight classification only runs in
+    # 'auto' mode — fast goes straight to httpx, js straight to
+    # Selenium; the route column reflects all three branches
+    strategy_raw = classify_strategy(
         F.col("content_type"), F.coalesce(F.col("final_url"), F.col("url")),
         F.col("text_len"), F.col("has_main"), F.col("spa_mark"),
         F.col("js_required"), F.col("consent"), F.col("bot_wall"),
@@ -59,11 +63,9 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         http_only_text_len=cfg.http_only_text_len,
         js_light_thin_text_len=cfg.js_light_thin_text_len,
     )
-    # auto-mode routing (main.py:334-371): the engine crawls in 'auto'
-    # mode — preflight always runs; the route decides whether its bytes
-    # are served or Selenium refetches (second-chance cut at 700)
+    strategy = F.when(F.col("mode") == "auto", strategy_raw)
     route = route_fetch(
-        F.lit("auto"), strategy, F.col("text_len"),
+        F.col("mode"), strategy, F.col("text_len"),
         second_chance_text_len=cfg.second_chance_text_len,
     )
 
@@ -80,7 +82,9 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     # the politeness slot offset; replaces wall-clock with a
     # deterministic charge so throughput is measurable and replayable.
     # A second-chance miss (HTTP_THEN_JS routed to Selenium) pays the
-    # JS refetch on top of the preflight it already ran (main.py:351-371)
+    # JS refetch on top of the preflight it already ran (main.py:351-371).
+    # fast mode charges the plain httpx fetch, js mode the Selenium
+    # render — neither pays a preflight (reference runs none for them)
     cost = F.lit(None).cast("int")
     for strat, ms in cfg.cost_ms.items():
         cost = F.when(strategy == strat, ms).otherwise(cost)
@@ -88,6 +92,11 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         (strategy == "HTTP_THEN_JS") & (route == "selenium"),
         cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"],
     ).otherwise(cost)
+    cost = (
+        F.when(F.col("mode") == "fast", F.lit(cfg.cost_ms["HTTP_ONLY"]))
+        .when(F.col("mode") == "js", F.lit(cfg.cost_ms["JS_LIGHT"]))
+        .otherwise(cost)
+    )
 
     return (
         joined.withColumn("strategy", F.when(F.col("page_id").isNotNull(), strategy))
@@ -129,6 +138,154 @@ DEFAULT_HEADERS = {
     "Sec-Fetch-Site": "none",
     "Sec-Fetch-User": "?1",
 }
+
+
+def live_decisions(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Decision columns for LIVE fetch output — the reference's post-
+    fetch pipeline over real payload bytes instead of graph columns:
+
+    - preflight features re-derived from the body
+      (``functions/features.py`` ≙ ``app/preflight.py:99-110``); the
+      strategy/route cascade then runs on those REAL features — this is
+      more faithful than the simulated path, which reads the graph's
+      minted feature bits
+    - outcome reconciles the two retry layers: transport exceptions
+      were already retried in-partition (``http_fetcher.py:64-83``);
+      an exhausted transport is a terminal 'failed' (main.py's 502/504
+      translation), while retryable HTTP STATUSES (500/502/503/504
+      responses) re-queue through the round loop exactly like the
+      simulated path
+    - elapsed_ms = backoff slots + politeness slot (deterministic; real
+      wall latency is not replayable)
+    """
+    from volltextextraktion_selenium_md_spark.functions.features import (
+        extract_features_stage,
+    )
+
+    html_ok = (
+        F.col("error").isNull()
+        & F.col("content_type").startswith("text/html")
+        & (F.coalesce(F.col("status_code"), F.lit(599)) < 400)
+    )
+    with_html = fetched.withColumn(
+        "html", F.when(html_ok, F.col("payload").cast("string")).otherwise(F.lit(""))
+    )
+    feats = extract_features_stage(
+        with_html, html_col="html",
+        keep=[c for c in with_html.columns if c != "html"],
+    )
+
+    youtube = F.coalesce(F.col("final_url"), F.col("url")).rlike(
+        r"(youtube\.com|youtu\.be)"
+    )
+    strategy_raw = classify_strategy(
+        F.col("content_type"), F.coalesce(F.col("final_url"), F.col("url")),
+        F.col("text_len"), F.col("has_main"), F.col("spa_mark"),
+        F.col("js_required"), F.col("consent"), F.col("bot_wall"),
+        F.col("rss_link"), youtube,
+        http_only_text_len=cfg.http_only_text_len,
+        js_light_thin_text_len=cfg.js_light_thin_text_len,
+    )
+    strategy = F.when(
+        (F.col("mode") == "auto") & F.col("error").isNull(), strategy_raw
+    )
+    route = route_fetch(
+        F.col("mode"), strategy, F.col("text_len"),
+        second_chance_text_len=cfg.second_chance_text_len,
+    )
+
+    retryable = F.col("status_code").isin(list(cfg.retryable_statuses))
+    outcome = (
+        F.when(F.col("error").isNotNull(), "failed")
+        .when(retryable & (F.col("attempt") < cfg.retries), "retry")
+        .when(retryable, "failed")
+        .when(F.col("status_code") >= 400, "failed")
+        .otherwise("fetched")
+    )
+
+    return (
+        feats.withColumn("outcome", outcome)
+        .withColumn("strategy", strategy)
+        .withColumn("route", F.when(F.col("error").isNull(), route))
+        .withColumn("page_id", F.lit(None).cast("long"))
+        .withColumn("page_status", F.col("status_code"))
+        .withColumn(
+            "redirected",
+            F.when(
+                F.col("final_url").isNotNull(),
+                redirect_flag(F.col("url"), F.col("final_url")),
+            ),
+        )
+        .withColumn(
+            "elapsed_ms",
+            (
+                F.coalesce(F.col("backoff_ms"), F.lit(0))
+                + F.coalesce(F.col("sched_slot_ms"), F.lit(0))
+            ).cast("int"),
+        )
+    )
+
+
+LINKS_SCHEMA = (
+    "p_url string, p_depth int, p_lineage string, p_priority int, "
+    "p_mode string, doc_pos int, raw_url string, text string"
+)
+
+
+def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
+    """Child frontier rows extracted from fetched PAYLOAD bytes
+    (reference ``extract_links_detailed_from_html``,
+    ``app/utils.py:126-155``): anchors in document order, absolutized
+    against the final URL, lineage = parent_lineage.doc_pos — the same
+    shape the simulated graph join produces, so everything downstream
+    (first-seen dedup, seen anti-join, ordering) is shared code."""
+    import pandas as pd
+
+    from volltextextraktion_selenium_md_spark.functions.urls import (
+        canonicalize_url,
+        extract_links_one,
+        url_host,
+    )
+
+    def explode_links(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "p_url", "p_depth", "p_lineage", "p_priority", "p_mode",
+                "doc_pos", "raw_url", "text")}
+            for r in pdf.to_dict("records"):
+                payload = r["payload"]
+                if payload is None:
+                    continue
+                base = r["final_url"] or r["url"]
+                html = bytes(payload).decode("utf-8", errors="replace")
+                for pos, absolute, text in extract_links_one(html, base):
+                    rows["p_url"].append(r["url"])
+                    rows["p_depth"].append(r["depth"])
+                    rows["p_lineage"].append(r["lineage"])
+                    rows["p_priority"].append(r["priority"])
+                    rows["p_mode"].append(r["mode"])
+                    rows["doc_pos"].append(pos)
+                    rows["raw_url"].append(absolute)
+                    rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    links = parents.mapInPandas(explode_links, schema=LINKS_SCHEMA)
+    canon = links.select(
+        canonicalize_url(F.col("raw_url")).alias("url"),
+        (F.col("p_depth") + 1).alias("depth"),
+        F.concat(
+            F.col("p_lineage"), F.lit("."),
+            F.lpad(F.col("doc_pos").cast("string"), 2, "0"),
+        ).alias("lineage"),
+        F.col("p_priority").alias("priority"),
+        F.col("p_mode").alias("mode"),
+        F.lit(0).alias("attempt"),
+        F.lit(next_round).alias("round_added"),
+    )
+    return canon.select(
+        "url", url_host(F.col("url")).alias("host"), "depth", "lineage",
+        "priority", "mode", "attempt", "round_added",
+    )
 
 
 def _httpx_transport_factory():  # pragma: no cover — needs network

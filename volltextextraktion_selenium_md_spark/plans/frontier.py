@@ -61,12 +61,20 @@ from volltextextraktion_selenium_md_spark.operators.politeness import (
     schedule_slots,
 )
 from volltextextraktion_selenium_md_spark.plans.convert import convert_stage
-from volltextextraktion_selenium_md_spark.plans.fetch import simulated_fetch
+from volltextextraktion_selenium_md_spark.plans.fetch import (
+    links_from_payloads,
+    live_decisions,
+    live_fetch,
+    simulated_fetch,
+)
 
-FRONTIER_COLS = ["url", "host", "depth", "lineage", "priority", "attempt", "round_added"]
+FRONTIER_COLS = [
+    "url", "host", "depth", "lineage", "priority", "mode", "attempt",
+    "round_added",
+]
 
 LOG_COLS = [
-    "round", "url", "host", "depth", "lineage", "attempt", "outcome",
+    "round", "url", "host", "depth", "lineage", "mode", "attempt", "outcome",
     "page_id", "status_code", "final_url", "redirected", "content_type",
     "strategy", "route", "elapsed_ms", "partition_id",
 ]
@@ -140,6 +148,7 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         canonicalize_url(F.col("raw_url")).alias("url"),
         F.col("seed_idx"),
         F.col("priority"),
+        F.col("mode"),
     )
     f = seeds.select(
         "url",
@@ -147,6 +156,10 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         F.lit(0).alias("depth"),
         _pad6(F.col("seed_idx")).alias("lineage"),
         F.col("priority"),
+        # per-request fetch mode (reference schemas.py:85-104); a crawl
+        # loop re-POSTs children with the same request settings, so
+        # children inherit the seed's mode
+        F.col("mode"),
         F.lit(0).alias("attempt"),
         F.lit(0).alias("round_added"),
     )
@@ -173,9 +186,29 @@ class CrawlEngine:
         with_llm: bool = False,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
+        fetch_mode: str = "simulated",
+        transport_factory=None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
+        # 'simulated' resolves fetches against the deterministic graph
+        # (lookup join); 'live' runs the real mapInPandas network stage
+        # (plans/fetch.py:live_fetch — per-partition client, salted
+        # repartition, in-partition transport retries, thread pool)
+        # inside the SAME round loop: robots, budget, slots, seen-set,
+        # status-code retries and ordering are shared code. Live-mode
+        # children come from the payload bytes (links_from_payloads).
+        # with_convert currently requires the simulated graph (the
+        # convert stage mints payloads from page ids).
+        assert fetch_mode in ("simulated", "live")
+        if fetch_mode == "live" and with_convert:
+            raise NotImplementedError(
+                "with_convert is simulated-mode only: the convert stage "
+                "mints payloads from graph page ids; live payload "
+                "conversion lands in a later round"
+            )
+        self.fetch_mode = fetch_mode
+        self.transport_factory = transport_factory
         self.use_bloom = use_bloom
         # seen_shards > 0: the 10^10-scale sharded prefilter (SeenSet) —
         # per-shard blooms consulted task-locally — instead of one
@@ -270,8 +303,9 @@ class CrawlEngine:
         # hash-partitioned on the fetch-join key, so each round's fetch
         # join shuffles ONLY the (much smaller) frontier side — the
         # co-located-join pattern (bucketed table at lakehouse scale)
-        self.pages = self.pages.repartition(self.num_partitions, "url").persist()
-        self.links = self.links.persist()
+        if self.fetch_mode == "simulated":
+            self.pages = self.pages.repartition(self.num_partitions, "url").persist()
+            self.links = self.links.persist()
         logs: list[DataFrame] = []
         payloads: list[DataFrame] = []
         conversions: list[DataFrame] = []
@@ -344,13 +378,26 @@ class CrawlEngine:
                     + (CONVERT_FEATURES if self.with_convert else [])
                 )
             )
-            fetched = (
-                simulated_fetch(admitted, self.pages, cfg)
-                .select(*[c for c in keep if c not in ("status_code", "partition_id")])
-                # per-partition lineage: which physical partition carried
-                # the row through the fetch stage (north-rule metrics)
-                .withColumn("partition_id", F.spark_partition_id())
-            )
+            if self.fetch_mode == "live":
+                raw = live_fetch(
+                    admitted, cfg,
+                    transport_factory=self.transport_factory,
+                    num_partitions=self.num_partitions,
+                    passthrough=["priority", "mode", "h1", "h2", "sched_slot_ms"],
+                )
+                # partition_id comes from the salted live stage itself
+                # (north-rule lineage: which partition did the fetching)
+                fetched = live_decisions(raw, cfg).select(
+                    *[c for c in keep if c != "status_code"], "payload"
+                )
+            else:
+                fetched = (
+                    simulated_fetch(admitted, self.pages, cfg)
+                    .select(*[c for c in keep if c not in ("status_code", "partition_id")])
+                    # per-partition lineage: which physical partition
+                    # carried the row through the fetch stage
+                    .withColumn("partition_id", F.spark_partition_id())
+                )
             if self.eager_fetch_checkpoint:
                 fetched = fetched.localCheckpoint()
             else:
@@ -363,7 +410,7 @@ class CrawlEngine:
 
             log = fetched.select(
                 F.lit(rnd).alias("round"),
-                "url", "host", "depth", "lineage", "attempt", "outcome",
+                "url", "host", "depth", "lineage", "mode", "attempt", "outcome",
                 "page_id",
                 F.col("page_status").alias("status_code"),
                 "final_url", "redirected", "content_type", "strategy",
@@ -371,7 +418,7 @@ class CrawlEngine:
             )
             blocked_log = blocked.select(
                 F.lit(rnd).alias("round"),
-                "url", "host", "depth", "lineage", "attempt",
+                "url", "host", "depth", "lineage", "mode", "attempt",
                 F.lit("blocked").alias("outcome"),
                 F.lit(None).cast("long").alias("page_id"),
                 F.lit(None).cast("int").alias("status_code"),
@@ -429,7 +476,7 @@ class CrawlEngine:
             retries = (
                 fetched.filter(F.col("outcome") == "retry")
                 .select(
-                    "url", "host", "depth", "lineage", "priority",
+                    "url", "host", "depth", "lineage", "priority", "mode",
                     (F.col("attempt") + 1).alias("attempt"),
                     F.lit(rnd + 1).alias("round_added"),
                     "h1", "h2",
@@ -437,28 +484,43 @@ class CrawlEngine:
             )
 
             # link expansion from fetched html pages below the depth cap
-            parents = fetched.filter(
+            parent_filter = (
                 (F.col("outcome") == "fetched")
                 & F.col("content_type").startswith("text/html")
                 & (F.col("depth") < cfg.max_depth)
-            ).select(
-                F.col("page_id").alias("src_page_id"),
-                F.col("depth").alias("p_depth"),
-                F.col("lineage").alias("p_lineage"),
-                F.col("priority").alias("p_priority"),
             )
-            children = (
-                self._children_links(parents)
-                .select(
-                    canonicalize_url(F.col("raw_url")).alias("url"),
-                    F.col("dst_host").alias("host"),
-                    (F.col("p_depth") + 1).alias("depth"),
-                    F.concat(F.col("p_lineage"), F.lit("."), _pad2(F.col("doc_pos"))).alias("lineage"),
-                    F.col("p_priority").alias("priority"),
-                    F.lit(0).alias("attempt"),
-                    F.lit(rnd + 1).alias("round_added"),
+            if self.fetch_mode == "live":
+                # live mode: children come from the PAYLOAD BYTES — the
+                # reference's extract_links_detailed_from_html over the
+                # fetched body (app/utils.py:126-155), Arrow-batched
+                children = links_from_payloads(
+                    fetched.filter(parent_filter).select(
+                        "url", "final_url", "payload", "depth", "lineage",
+                        "priority", "mode",
+                    ),
+                    rnd + 1,
                 )
-            )
+            else:
+                parents = fetched.filter(parent_filter).select(
+                    F.col("page_id").alias("src_page_id"),
+                    F.col("depth").alias("p_depth"),
+                    F.col("lineage").alias("p_lineage"),
+                    F.col("priority").alias("p_priority"),
+                    F.col("mode").alias("p_mode"),
+                )
+                children = (
+                    self._children_links(parents)
+                    .select(
+                        canonicalize_url(F.col("raw_url")).alias("url"),
+                        F.col("dst_host").alias("host"),
+                        (F.col("p_depth") + 1).alias("depth"),
+                        F.concat(F.col("p_lineage"), F.lit("."), _pad2(F.col("doc_pos"))).alias("lineage"),
+                        F.col("p_priority").alias("priority"),
+                        F.col("p_mode").alias("mode"),
+                        F.lit(0).alias("attempt"),
+                        F.lit(rnd + 1).alias("round_added"),
+                    )
+                )
             children = seen_ops.with_hashes(first_seen(children, "url", ["depth", "lineage"]))
 
             bloom = None
@@ -598,8 +660,9 @@ class CrawlEngine:
         # every returned DataFrame bottoms out in (possibly lazy)
         # localCheckpoints, all of which were materialized by the
         # per-round counts — the cached graph tables can be released
-        self.pages.unpersist()
-        self.links.unpersist()
+        if self.fetch_mode == "simulated":
+            self.pages.unpersist()
+            self.links.unpersist()
 
         conversions_df = None
         if conversions:

@@ -56,7 +56,7 @@ def _load_graph(sf_dir: str) -> tuple[dict, dict, list, dict]:
     ).fetchall():
         links.setdefault(pid, []).append((doc_pos, raw_url, dst_host))
     seeds = con.execute(
-        "SELECT seed_idx, priority, raw_url FROM g_seeds ORDER BY seed_idx"
+        "SELECT seed_idx, priority, raw_url, mode FROM g_seeds ORDER BY seed_idx"
     ).fetchall()
     robots = {
         r[0]: {"disallow_prefix": r[1], "crawl_delay_ms": r[2]}
@@ -75,7 +75,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
     # round 0 init: canonicalize seeds, first-seen dedup in seed order
     frontier: list[dict] = []
     seen: set[str] = set()
-    for seed_idx, priority, raw_url in seeds:
+    for seed_idx, priority, raw_url, mode in seeds:
         url = canonicalize_one(raw_url)
         if url in seen:
             continue
@@ -86,6 +86,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
             "depth": 0,
             "lineage": f"{seed_idx:06d}",
             "priority": priority,
+            "mode": mode,
             "attempt": 0,
         })
 
@@ -126,6 +127,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                 "url": row["url"],
                 "depth": row["depth"],
                 "lineage": row["lineage"],
+                "mode": row["mode"],
                 "attempt": row["attempt"],
                 "outcome": outcome,
             })
@@ -144,6 +146,9 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                         "depth": row["depth"] + 1,
                         "lineage": f"{row['lineage']}.{doc_pos:02d}",
                         "priority": row["priority"],
+                        "mode": row["mode"],  # children re-POST with the
+                        # parent request's settings (reference dispatch
+                        # is per-request, schemas.py:85-104)
                         "attempt": 0,
                     })
 
