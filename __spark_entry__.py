@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_form": Q.q_surt_form,
         "seen_anti_join": Q.q_seen_anti_join,
         "link_explode": Q.q_link_explode,
+        "extract_links": Q.q_extract_links,
         "robots_filter": Q.q_robots_filter,
         "politeness_slots": Q.q_politeness_slots,
         "host_budget_topk": Q.q_host_budget_topk,

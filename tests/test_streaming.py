@@ -63,6 +63,86 @@ def test_sessionize_properties(spark):
     assert bad.count() == 0
 
 
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """Sessionize streaming twin (applyInPandasWithState keyed by user,
+    EVENT-TIME timeout): sessions closed by a gap emit inline; sessions
+    still open at end-of-stream flush via the per-user timeout once the
+    watermark passes session_end + gap (driven by a far-future sentinel
+    row, as a production feed's next events would). End-of-stream output
+    must equal the batch window-function twin."""
+    import os
+    import time as _t
+
+    import pandas as pd
+
+    from volltextextraktion_selenium_md_spark.streaming.monitor import (
+        SESSION_SENTINEL_USER,
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "sess_stream")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    (
+        events.repartitionByRange(4, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(src)
+    )
+    # sentinel file: one far-future row that only advances the watermark
+    # so every open session's event-time timeout fires
+    far = events.agg(F.max("ts")).first()[0] + pd.Timedelta(days=365)
+    spark.createDataFrame(
+        [(int(1 << 40), far, SESSION_SENTINEL_USER, "sentinel", 0.0, "{}")],
+        schema=events.schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    # arrival order == event-time order (file source schedules by mtime)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    sentinel_part = [
+        f for f in parts
+        if spark.read.parquet(os.path.join(src, f))
+        .filter(F.col("user_id") == SESSION_SENTINEL_USER).count() > 0
+    ][0]
+    ordered = [f for f in parts if f != sentinel_part] + [sentinel_part]
+    now = _t.time()
+    for i, f in enumerate(ordered):
+        os.utime(os.path.join(src, f), (now + i, now + i))
+
+    expected = {
+        (r["user_id"], r["session_idx"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in sessionize(events).collect()
+    }
+
+    stream = sessionize_stream(spark, src)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_idx"]): (
+                r["session_start"], r["session_end"], r["n_events"],
+                r["sum_value"],
+            )
+            for r in spark.table("sessions").collect()
+        }
+    finally:
+        q.stop()
+    assert set(got) == set(expected) and len(got) > 0
+    for k, (gs, ge, gn, gv) in got.items():
+        es, ee, en, ev = expected[k]
+        assert (gs, ge, gn) == (es, ee, en), k
+        # float sums accumulate in different orders batch vs stream —
+        # equal to well below the 4-decimal rounding grain
+        assert abs(gv - ev) < 1e-3, k
+
+
 def test_admission_stream_equals_batch(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): per-(host,
     window) GroupState must carry admitted-slot counts across

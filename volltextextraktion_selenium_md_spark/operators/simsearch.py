@@ -221,7 +221,13 @@ def ivf_build(
             )
             .select(
                 "cluster",
-                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("c_emb"),
+                # round the mean before the float cast: double summation
+                # order differs between engines (and between Spark
+                # partitionings); 6 dp makes the centroid table
+                # bit-reproducible so the DuckDB oracle can rebuild it
+                F.transform(
+                    F.col("pm"), lambda s: F.round(s["m"], 6).cast("float")
+                ).alias("c_emb"),
             )
         )
         centroids = means

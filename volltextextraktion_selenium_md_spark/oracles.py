@@ -126,6 +126,22 @@ JOIN (SELECT DISTINCT dst_page_id FROM g_seeds) sp
     )
 
 
+def sql_extract_links() -> str:
+    """Expected extraction for every minted seed-page HTML: exactly the
+    g_links rows (the mint embeds each link as an anchor in doc_pos
+    order; the extractor must recover position, href and text)."""
+    return (
+        _with({})
+        + """
+SELECT l.src_page_id, CAST(l.doc_pos AS INTEGER) AS doc_pos,
+       l.raw_url AS url, l.text
+FROM g_links l
+JOIN (SELECT DISTINCT dst_page_id FROM g_seeds) sp
+     ON l.src_page_id = sp.dst_page_id
+"""
+    )
+
+
 def sql_robots_filter() -> str:
     return (
         _with({"f_init": F_INIT})
@@ -849,6 +865,88 @@ FROM (
 """
 
 
+def _ivf_assign_cte(src: str, centroids: str) -> str:
+    """Nearest-centroid assignment (argmax cosine, 6 dp, tie -> smaller
+    cluster) — mirrors simsearch._nearest_centroid."""
+    return f"""
+  SELECT vec_id, cluster FROM (
+    SELECT b.vec_id, c.cluster,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        round(list_inner_product(b.e, c.c_emb)
+              / (b.n * sqrt(list_inner_product(c.c_emb, c.c_emb))), 6) DESC,
+        c.cluster ASC) AS rk
+    FROM {src} b CROSS JOIN {centroids} c
+  ) WHERE rk = 1
+"""
+
+
+def _ivf_means_cte(assign: str) -> str:
+    """Element-wise member mean per cluster, rounded to 6 dp and passed
+    through FLOAT — bit-identical to the Spark rebuild (posexplode ->
+    avg -> round -> float cast)."""
+    return f"""
+  SELECT cluster, list(m ORDER BY pos) AS c_emb FROM (
+    SELECT a.cluster, u.pos,
+           CAST(CAST(round(avg(u.val), 6) AS FLOAT) AS DOUBLE) AS m
+    FROM {assign} a JOIN norm b USING (vec_id),
+         (SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos
+          FROM norm) u
+    WHERE u.vec_id = b.vec_id
+    GROUP BY a.cluster, u.pos
+  ) GROUP BY cluster
+"""
+
+
+def sql_ivf_topk() -> str:
+    """IVF probe+rank with the Lloyd iterations UNROLLED in SQL
+    (lloyd_iters=2 fixed): seed = K smallest vec_ids, two rounds of
+    assign->mean, final assignment, nprobe nearest lists per query,
+    exact cosine within them. Every float step is rounding-pinned
+    (assign cos 6 dp, centroid means 6 dp + FLOAT cast, final cos 4 dp)
+    so both engines agree digit for digit."""
+    ids = ", ".join(str(i) for i in Q.COS_QUERY_IDS)
+    k, K, nprobe = Q.COS_K, Q.IVF_CENTROIDS, Q.IVF_NPROBE
+    return f"""
+WITH norm AS ({_NORM_CTE}),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         e AS c_emb
+  FROM norm ORDER BY vec_id LIMIT {K}
+),
+a1 AS ({_ivf_assign_cte("norm", "c0")}),
+c1 AS ({_ivf_means_cte("a1")}),
+a2 AS ({_ivf_assign_cte("norm", "c1")}),
+c2 AS ({_ivf_means_cte("a2")}),
+assign AS ({_ivf_assign_cte("norm", "c2")}),
+q AS (SELECT vec_id AS query_id, e AS qe, n AS qn FROM norm
+      WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.cluster,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        round(list_inner_product(q.qe, c.c_emb)
+              / (q.qn * sqrt(list_inner_product(c.c_emb, c.c_emb))), 6) DESC,
+        c.cluster ASC) AS rk
+    FROM q CROSS JOIN c2 c
+  ) WHERE rk <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a USING (cluster)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT cand.query_id, b.vec_id AS neighbor_id,
+         round(list_inner_product(b.e, q.qe) / (b.n * q.qn), 4) AS cos,
+         row_number() OVER (PARTITION BY cand.query_id ORDER BY
+           round(list_inner_product(b.e, q.qe) / (b.n * q.qn), 4) DESC,
+           b.vec_id ASC) AS rank
+  FROM cand JOIN q USING (query_id) JOIN norm b ON b.vec_id = cand.vec_id
+) r WHERE rank <= {k}
+"""
+
+
 def _bucket_expr(table: int, num_planes: int, alias: str = "e") -> str:
     """Bucket for hash table `table`: planes [t*P, (t+1)*P), mirroring
     lsh_banded's `sig = sig*2 + bit` accumulation."""
@@ -929,6 +1027,7 @@ def build_oracles() -> dict[str, str]:
         "canonicalize_urls": sql_canonicalize_urls(),
         "seen_anti_join": sql_seen_anti_join(),
         "link_explode": sql_link_explode(),
+        "extract_links": sql_extract_links(),
         "robots_filter": sql_robots_filter(),
         "politeness_slots": sql_politeness_slots(),
         "host_budget_topk": sql_host_budget_topk(),
@@ -965,6 +1064,7 @@ def build_oracles() -> dict[str, str]:
         "simhash_dup_pairs": sql_simhash_dup_pairs(),
         "cosine_topk": sql_cosine_topk(),
         "cosine_topk_lsh": sql_cosine_topk_lsh(),
+        "ivf_topk": sql_ivf_topk(),
         "embedding_near_dup": sql_embedding_near_dup(),
     }
     return ORACLES

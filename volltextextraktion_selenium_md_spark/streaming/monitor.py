@@ -73,8 +73,9 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Gap-based sessionization per user: a new session starts when the
     inter-event gap exceeds `gap_min` minutes. Pure window functions
     (lag -> boundary flag -> running sum), no Python; the streaming
-    twin is `applyInPandasWithState` with a per-user timeout, which
-    shares the same session semantics."""
+    twin is `sessionize_stream` below (`applyInPandasWithState` keyed
+    by user with an EVENT-TIME timeout), same session semantics —
+    stream==batch is asserted in tests/test_streaming.py."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -104,4 +105,117 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
             F.col("session_idx").cast("int").alias("session_idx"),
             "session_start", "session_end", "n_events", "sum_value",
         )
+    )
+
+
+SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_idx", T.IntegerType()),
+    T.StructField("session_start", T.TimestampNTZType()),
+    T.StructField("session_end", T.TimestampNTZType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+# open session carried across micro-batches: (idx, start_us, end_us, n, sum)
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("session_idx", T.IntegerType()),
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+# stream watermark sentinel: rows with this user_id only advance the
+# watermark (so open sessions time out and flush); they never sessionize
+SESSION_SENTINEL_USER = -1
+
+
+def sessionize_stream(
+    spark: SparkSession, src_dir: str, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Streaming sessionize twin: ``applyInPandasWithState`` keyed by
+    user with a PER-USER EVENT-TIME TIMEOUT.
+
+    The open session is GroupState; a batch's events extend it or — on
+    a gap > ``gap_min`` — close it (row emitted) and open the next. The
+    state's timeout timestamp is ``session_end + gap``: when the
+    watermark passes it, no event can extend the session any more
+    (exactly the gap rule), so the timeout callback emits the open
+    session and clears state. End-of-stream output therefore equals the
+    batch twin when files arrive in event-time order."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        # event-time timeouts require a watermark; session tz is UTC so
+        # the NTZ->LTZ cast is value-preserving
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def _row(user_id, idx, start_us, end_us, n, sv):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        # Spark's round() is HALF_UP; Python's round() is banker's —
+        # match the batch twin digit for digit
+        sv4 = float(
+            Decimal(repr(float(sv))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        return pd.DataFrame({
+            "user_id": [user_id],
+            "session_idx": [int(idx)],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(end_us, unit="us")],
+            "n_events": [int(n)],
+            "sum_value": [sv4],
+        })
+
+    def serve(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+        chunks = [p for p in pdfs if len(p)]
+        if state.hasTimedOut:
+            # watermark passed session_end + gap: nothing can extend the
+            # open session — flush it (this IS the per-user timeout)
+            if state.exists:
+                idx, s, e, n, sv = state.get
+                yield _row(user_id, idx, s, e, n, sv)
+            state.remove()
+            return
+        if not chunks or user_id == SESSION_SENTINEL_USER:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if state.exists:
+            idx, s, e, n, sv = state.get
+        else:
+            idx, s, e, n, sv = 0, None, None, 0, 0.0
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t_us = int(pd.Timestamp(ts).value // 1_000)
+            if s is None:
+                s, e, n, sv = t_us, t_us, 1, float(value)
+            elif t_us - e > gap_us:
+                yield _row(user_id, idx, s, e, n, sv)
+                idx += 1
+                s, e, n, sv = t_us, t_us, 1, float(value)
+            else:
+                e, n, sv = t_us, n + 1, sv + float(value)
+        state.update((int(idx), int(s), int(e), int(n), float(sv)))
+        state.setTimeoutTimestamp(
+            max((e + gap_us) // 1_000, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        serve,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
