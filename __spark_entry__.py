@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strategy_classifier": Q.q_strategy_classifier,
         "preflight_features": Q.q_preflight_features,
         "fetch_route": Q.q_fetch_route,
+        "fetch_timeout": Q.q_fetch_timeout,
+        "time_budget": Q.q_time_budget,
         "llm_postprocess": Q.q_llm_postprocess,
         "error_page_detect": Q.q_error_page_detect,
         "error_page_html": Q.q_error_page_html,

@@ -52,6 +52,29 @@ def test_tight_budget_and_retries_still_match(spark):
     assert res.rounds > 3
 
 
+def test_timeout_and_round_time_budget_match(spark):
+    """Per-request timeout (504 path: modeled latency over timeout_ms
+    retries then fails) and per-round TIME budget (slots past the
+    budget defer) — both deterministic, both mirrored in the golden
+    replay. timeout_ms=100 times out JS_LIGHT(_CONSENT) and
+    second-chance pages; budget 400ms defers rows past 4 slots/host (the
+    hot host crawls 8 rows/round at sf0.001, delay 100ms)."""
+    cfg = CrawlConfig(timeout_ms=100, round_time_budget_ms=400, max_rounds=24)
+    rep = replay_crawl(SF_SMALL, cfg)
+    res = CrawlEngine(spark, SF_SMALL, cfg).run()
+    assert _spark_order(res) == _gold_order(rep)
+    assert {r["url"] for r in res.seen.collect()} == rep.seen
+    # non-vacuous: timeouts actually fired (failed rows on 200 pages)
+    outcomes = {g["outcome"] for g in rep.crawl_order}
+    assert "retry" in outcomes and "failed" in outcomes
+    # and the time budget actually deferred: some urls crawl in a LATER
+    # round than the same config without the budget
+    rep_nb = replay_crawl(SF_SMALL, CrawlConfig(timeout_ms=100, max_rounds=24))
+    with_b = {g["url"]: g["round"] for g in rep.crawl_order}
+    without = {g["url"]: g["round"] for g in rep_nb.crawl_order}
+    assert any(with_b[u] > without.get(u, 0) for u in with_b)
+
+
 def test_blocked_rows_match_replay(spark):
     cfg = CrawlConfig()
     rep = replay_crawl(SF_SMALL, cfg)

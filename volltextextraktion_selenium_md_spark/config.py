@@ -23,6 +23,18 @@ class CrawlConfig:
     host_budget_per_round: int = 20
     default_crawl_delay_ms: int = 100
 
+    # per-round TIME budget (reference TimeBudget / nav caps,
+    # app/js_fetcher.py:689-712,741-742, mapped per SURVEY §4 to a
+    # per-round budget column): admitted rows whose crawl-delay slot
+    # falls at/after this many ms defer to the next round — the round's
+    # crawl window closed before their turn. None = off.
+    round_time_budget_ms: int | None = None
+
+    # per-request timeout (reference default 30 s, schemas.py:116-128):
+    # a request whose modeled latency exceeds this times out — the 504
+    # path, which retries like any transport failure
+    timeout_ms: int = 30_000
+
     # retry semantics (reference: for attempt in range(retries+1),
     # backoff min(2**attempt, 5)s [app/http_fetcher.py:64-83])
     retries: int = 1

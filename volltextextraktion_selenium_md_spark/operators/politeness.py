@@ -66,6 +66,21 @@ def schedule_slots(admitted: DataFrame, default_delay_ms: int) -> DataFrame:
     )
 
 
+def time_budget_split(
+    slotted: DataFrame, budget_ms: int
+) -> tuple[DataFrame, DataFrame]:
+    """Per-round TIME budget (reference ``TimeBudget``,
+    ``app/js_fetcher.py:689-712``, per SURVEY §4 'rows over budget ->
+    deferred'): a row whose crawl-delay slot starts at/after the budget
+    would run past the round's crawl window — it defers to the next
+    round unchanged. Deterministic (slot is a rank, not a clock), so
+    the golden replay mirrors it exactly.
+
+    Returns (admitted, deferred)."""
+    fits = F.col("sched_slot_ms") < budget_ms
+    return slotted.filter(fits), slotted.filter(~fits)
+
+
 def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 8) -> DataFrame:
     """Route rows by (host, salt-of-url): a hot host (Zipf head — host0
     owns ~33% of the synthetic graph) spreads over `salt` partitions

@@ -332,6 +332,79 @@ FROM routed
     )
 
 
+def _cost_case() -> str:
+    """Modeled request latency (twin of plans/fetch.py's cost column)."""
+    from volltextextraktion_selenium_md_spark.config import CrawlConfig
+
+    cfg = CrawlConfig()
+    per_strategy = "\n".join(
+        f"    WHEN {_strategy_case()} = '{s}' THEN {ms}"
+        for s, ms in cfg.cost_ms.items()
+    )
+    return f"""
+CASE
+  WHEN mode = 'fast' THEN {cfg.cost_ms['HTTP_ONLY']}
+  WHEN mode = 'js' THEN {cfg.cost_ms['JS_LIGHT']}
+  WHEN {_strategy_case()} = 'HTTP_THEN_JS'
+       AND text_len < {cfg.second_chance_text_len}
+       THEN {cfg.cost_ms['HTTP_THEN_JS'] + cfg.cost_ms['JS_LIGHT']}
+{per_strategy}
+END
+"""
+
+
+def sql_fetch_timeout() -> str:
+    from volltextextraktion_selenium_md_spark.config import CrawlConfig
+
+    cfg = CrawlConfig()
+    retryables = ", ".join(str(s) for s in cfg.retryable_statuses)
+    return (
+        _with({"mode_cases": Q.MODE_CASES_BODY})
+        + f"""
+, costed AS (
+  SELECT p.page_id, m.mode, p.status, ({_cost_case()}) AS cost
+  FROM mode_cases m JOIN g_pages p ON p.page_id = m.page_id
+)
+SELECT page_id, mode,
+  CASE
+    WHEN (status IN ({retryables}) OR cost > {Q.TIMEOUT_CASE_MS})
+         AND 0 < {cfg.retries} THEN 'retry'
+    WHEN status IN ({retryables}) OR cost > {Q.TIMEOUT_CASE_MS} THEN 'failed'
+    WHEN status >= 400 THEN 'failed'
+    ELSE 'fetched'
+  END AS outcome,
+  CAST(cost AS INTEGER) AS elapsed_ms
+FROM costed
+"""
+    )
+
+
+def sql_time_budget() -> str:
+    from volltextextraktion_selenium_md_spark.config import CrawlConfig
+
+    cfg = CrawlConfig()
+    return (
+        _with({"f_init": F_INIT, "d1": D1_CAND})
+        + f"""
+, allowed AS (
+  SELECT d.url, d.host, d.depth, d.lineage, r.crawl_delay_ms
+  FROM d1 d LEFT JOIN g_robots r ON d.host = r.host
+  WHERE NOT {_BLOCKED.replace("f.url", "d.url")}
+),
+slotted AS (
+  SELECT url,
+    CAST((row_number() OVER (PARTITION BY host ORDER BY depth, lineage) - 1)
+         * coalesce(crawl_delay_ms, {cfg.default_crawl_delay_ms}) AS INTEGER)
+      AS sched_slot_ms
+  FROM allowed
+)
+SELECT url, sched_slot_ms,
+       sched_slot_ms >= {Q.TIME_BUDGET_CASE_MS} AS deferred
+FROM slotted
+"""
+    )
+
+
 def sql_error_page_detect() -> str:
     likes = " OR ".join(
         "lower(markdown) LIKE '%" + h.replace("'", "''") + "%'" for h in ERROR_HINTS_MD
@@ -1037,6 +1110,8 @@ def build_oracles() -> dict[str, str]:
         "strategy_classifier": sql_strategy_classifier(),
         "preflight_features": sql_preflight_features(),
         "fetch_route": sql_fetch_route(),
+        "fetch_timeout": sql_fetch_timeout(),
+        "time_budget": sql_time_budget(),
         "llm_postprocess": sql_llm_postprocess(),
         "error_page_detect": sql_error_page_detect(),
         "error_page_html": sql_error_page_html(),

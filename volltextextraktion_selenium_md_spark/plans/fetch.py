@@ -69,15 +69,6 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         second_chance_text_len=cfg.second_chance_text_len,
     )
 
-    retryable = F.col("page_status").isin(list(cfg.retryable_statuses))
-    outcome = (
-        F.when(F.col("page_id").isNull(), "missing")
-        .when(retryable & (F.col("attempt") < cfg.retries), "retry")
-        .when(retryable, "failed")
-        .when(F.col("page_status") >= 400, "failed")
-        .otherwise("fetched")
-    )
-
     # cost model: strategy latency midpoints (README.md:223,362-363) +
     # the politeness slot offset; replaces wall-clock with a
     # deterministic charge so throughput is measurable and replayable.
@@ -96,6 +87,23 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         F.when(F.col("mode") == "fast", F.lit(cfg.cost_ms["HTTP_ONLY"]))
         .when(F.col("mode") == "js", F.lit(cfg.cost_ms["JS_LIGHT"]))
         .otherwise(cost)
+    )
+
+    # per-request timeout (reference timeout_ms, schemas.py:116-128): a
+    # request whose modeled latency exceeds the cap aborts — the 504
+    # path (main.py:393-405), which re-enters the retry loop like any
+    # transport failure. Evaluated on the request latency only (the
+    # crawl-delay slot is queueing, not request time).
+    timed_out = F.coalesce(cost, F.lit(0)) > cfg.timeout_ms
+    retryable = (
+        F.col("page_status").isin(list(cfg.retryable_statuses)) | timed_out
+    )
+    outcome = (
+        F.when(F.col("page_id").isNull(), "missing")
+        .when(retryable & (F.col("attempt") < cfg.retries), "retry")
+        .when(retryable, "failed")
+        .when(F.col("page_status") >= 400, "failed")
+        .otherwise("fetched")
     )
 
     return (

@@ -59,6 +59,7 @@ from volltextextraktion_selenium_md_spark.operators.politeness import (
     host_budget_split,
     robots_split,
     schedule_slots,
+    time_budget_split,
 )
 from volltextextraktion_selenium_md_spark.plans.convert import convert_stage
 from volltextextraktion_selenium_md_spark.plans.fetch import (
@@ -367,6 +368,15 @@ class CrawlEngine:
             allowed, blocked = robots_split(frontier, self.robots)
             admitted, deferred = host_budget_split(allowed, cfg.host_budget_per_round)
             admitted = schedule_slots(admitted, cfg.default_crawl_delay_ms)
+            if cfg.round_time_budget_ms is not None:
+                # the round's crawl window: rows whose delay slot falls
+                # past the time budget defer (SURVEY §4 TimeBudget map)
+                admitted, time_deferred = time_budget_split(
+                    admitted, cfg.round_time_budget_ms
+                )
+                deferred = deferred.unionByName(
+                    time_deferred.select(*deferred.columns)
+                )
             # NOTE: the live-fetch (mapInPandas) path salts hot hosts
             # across partitions here (salted_repartition); the simulated
             # fetch is a url-equi join whose output partitioning is

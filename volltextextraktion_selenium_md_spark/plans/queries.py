@@ -350,6 +350,55 @@ def q_fetch_route(spark, sf_dir):
     )
 
 
+TIMEOUT_CASE_MS = 100
+
+
+def q_fetch_timeout(spark, sf_dir):
+    """Per-request timeout (reference timeout_ms, schemas.py:116-128 /
+    504 translation main.py:393-405): with timeout_ms=100 the modeled
+    JS latencies exceed the cap — those requests re-enter the retry
+    loop; cheap strategies still fetch. Runs the REAL fetch stage
+    (simulated_fetch) over all three modes."""
+    from volltextextraktion_selenium_md_spark.plans.fetch import simulated_fetch
+
+    _g(spark, sf_dir)
+    cfg = CrawlConfig(timeout_ms=TIMEOUT_CASE_MS)
+    cases = spark.sql(MODE_CASES_BODY)
+    frontier = cases.join(
+        graph.pages(spark).select("page_id", "url"), on="page_id"
+    ).select(
+        "url", "mode",
+        F.lit(0).alias("attempt"),
+        F.lit(0).alias("sched_slot_ms"),
+    )
+    out = simulated_fetch(frontier, graph.pages(spark), cfg)
+    return out.select("page_id", "mode", "outcome", "elapsed_ms")
+
+
+def q_time_budget(spark, sf_dir):
+    """Per-round TIME budget split (SURVEY §4 TimeBudget map): depth-1
+    candidates scheduled into crawl-delay slots; rows whose slot falls
+    at/after the budget defer. Output = every row with its slot and
+    deferral decision."""
+    from volltextextraktion_selenium_md_spark.operators.politeness import (
+        time_budget_split,
+    )
+
+    _g(spark, sf_dir)
+    allowed, _ = robots_split(_depth1_candidates(spark), graph.robots(spark))
+    slotted = schedule_slots(allowed, CrawlConfig().default_crawl_delay_ms)
+    admitted, deferred = time_budget_split(slotted, TIME_BUDGET_CASE_MS)
+    return (
+        admitted.select("url", "sched_slot_ms", F.lit(False).alias("deferred"))
+        .unionByName(
+            deferred.select("url", "sched_slot_ms", F.lit(True).alias("deferred"))
+        )
+    )
+
+
+TIME_BUDGET_CASE_MS = 1000
+
+
 def q_error_page_detect(spark, sf_dir):
     _g(spark, sf_dir)
     cases = spark.sql(ERROR_CASES_BODY)

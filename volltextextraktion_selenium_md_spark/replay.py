@@ -41,12 +41,15 @@ def _load_graph(sf_dir: str) -> tuple[dict, dict, list, dict]:
     for name, body in GRAPH_VIEWS.items():
         con.execute(f"CREATE VIEW {name} AS {body}")
 
+    page_cols = (
+        "url", "page_id", "status", "final_url", "content_type", "text_len",
+        "has_main", "spa_mark", "js_required", "consent", "bot_wall",
+        "rss_link", "youtube",
+    )
     pages = {
-        r[0]: {
-            "page_id": r[1], "status": r[2], "final_url": r[3], "content_type": r[4],
-        }
+        r[0]: dict(zip(page_cols[1:], r[1:]))
         for r in con.execute(
-            "SELECT url, page_id, status, final_url, content_type FROM g_pages"
+            f"SELECT {', '.join(page_cols)} FROM g_pages"
         ).fetchall()
     }
     links: dict[int, list] = {}
@@ -66,6 +69,54 @@ def _load_graph(sf_dir: str) -> tuple[dict, dict, list, dict]:
     }
     con.close()
     return pages, links, seeds, robots
+
+
+_SERVE = ("PDF", "RSS", "HTTP_ONLY", "YOUTUBE")
+
+
+def _strategy(page: dict, cfg: CrawlConfig) -> str:
+    """Pure-python preflight cascade (independent twin of
+    functions/classify.py:classify_strategy; reference preflight
+    ``app/preflight.py:61-124`` — branch order is the contract)."""
+    ctype = (page["content_type"] or "").lower()
+    if ctype.startswith("application/pdf") or page["final_url"].lower().endswith(".pdf"):
+        return "PDF"
+    if "application/rss" in ctype or "application/atom+xml" in ctype:
+        return "RSS"
+    if page["bot_wall"]:
+        return "BLOCKED"
+    if page["youtube"]:
+        return "YOUTUBE"
+    if page["rss_link"]:
+        return "RSS"
+    if (
+        page["text_len"] >= cfg.http_only_text_len
+        and (page["has_main"] or not page["spa_mark"])
+        and not page["js_required"]
+        and not page["consent"]
+    ):
+        return "HTTP_ONLY"
+    if (
+        page["spa_mark"]
+        or (page["has_main"] and page["text_len"] < cfg.js_light_thin_text_len)
+        or page["js_required"]
+        or page["consent"]
+    ):
+        return "JS_LIGHT_CONSENT" if page["consent"] else "JS_LIGHT"
+    return "HTTP_THEN_JS"
+
+
+def _request_cost_ms(mode: str, page: dict, cfg: CrawlConfig) -> int:
+    """Modeled request latency (twin of plans/fetch.py's cost column:
+    strategy midpoints, second-chance JS surcharge, mode overrides)."""
+    if mode == "fast":
+        return cfg.cost_ms["HTTP_ONLY"]
+    if mode == "js":
+        return cfg.cost_ms["JS_LIGHT"]
+    s = _strategy(page, cfg)
+    if s == "HTTP_THEN_JS" and page["text_len"] < cfg.second_chance_text_len:
+        return cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"]
+    return cfg.cost_ms[s]
 
 
 def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
@@ -112,15 +163,26 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                 next_frontier.append(row)  # deferred, unchanged
                 continue
 
+            if cfg.round_time_budget_ms is not None:
+                # round time budget: slot = admitted-position * delay;
+                # slots at/past the budget miss the round's crawl window
+                delay = (rule or {}).get("crawl_delay_ms") or cfg.default_crawl_delay_ms
+                slot = (host_counts[row["host"]] - 1) * delay
+                if slot >= cfg.round_time_budget_ms:
+                    next_frontier.append(row)  # deferred, unchanged
+                    continue
+
             page = pages.get(row["url"])
             if page is None:
                 outcome = "missing"
-            elif page["status"] in cfg.retryable_statuses:
-                outcome = "retry" if row["attempt"] < cfg.retries else "failed"
-            elif page["status"] >= 400:
-                outcome = "failed"
             else:
-                outcome = "fetched"
+                timed_out = _request_cost_ms(row["mode"], page, cfg) > cfg.timeout_ms
+                if page["status"] in cfg.retryable_statuses or timed_out:
+                    outcome = "retry" if row["attempt"] < cfg.retries else "failed"
+                elif page["status"] >= 400:
+                    outcome = "failed"
+                else:
+                    outcome = "fetched"
 
             crawl_order.append({
                 "round": rnd,
