@@ -170,6 +170,65 @@ def test_live_fetch_mode_engine_replay_match(spark):
                for m, r in routes)
 
 
+def test_live_fetch_with_convert(spark):
+    """with_convert in live mode converts the REAL payload bytes: the
+    engine's markdown for a page equals convert_bytes applied directly
+    to the transport's bytes; image rows yield no payload-table row
+    (the minted image+caption table is the simulated corpus contract)."""
+    from volltextextraktion_selenium_md_spark.plans.convert import (
+        _Breaker,
+        convert_bytes,
+    )
+    from volltextextraktion_selenium_md_spark.replay import _load_graph
+
+    cfg = CrawlConfig(max_depth=1)
+    pages, links, _seeds, _robots = _load_graph(SF_SMALL)
+
+    def factory(pages=pages, links=links):
+        def call(url, user_agent, timeout_s, max_bytes):
+            page = pages.get(url)
+            if page is None:
+                raise ConnectionError("no such host")
+            ctype = page["content_type"]
+            if ctype.startswith("text/html"):
+                anchors = "".join(
+                    f"<a href='{raw}'>link</a>"
+                    for _pos, raw, _h in links.get(page["page_id"], [])
+                )
+                payload = (
+                    f"<html><body><main><h1>T{page['page_id']}</h1>"
+                    f"<p>body text for page {page['page_id']} with enough "
+                    f"characters to pass the main extraction length gate "
+                    f"and then some more filler filler filler</p></main>"
+                    f"{anchors}</body></html>"
+                ).encode()
+            else:
+                payload = b"binarybody"
+            return page["status"], page["final_url"], payload, ctype
+        return call
+
+    res = CrawlEngine(
+        spark, SF_SMALL, cfg, fetch_mode="live", transport_factory=factory,
+        with_convert=True,
+    ).run()
+    conv = {r["url"]: r for r in res.conversions.collect()}
+    assert len(conv) > 0
+    # pick a fetched html page and recompute its conversion directly
+    probe_url = next(
+        u for u, p in pages.items()
+        if u in conv and p["content_type"].startswith("text/html")
+    )
+    raw = factory()(probe_url, "ua", 1.0, cfg.max_bytes)[2]
+    want_md, want_conv, _ = convert_bytes(
+        conv[probe_url]["page_id"], pages[probe_url]["content_type"], raw,
+        _Breaker(), cfg.max_bytes,
+    )
+    assert conv[probe_url]["markdown"] == want_md
+    assert conv[probe_url]["converter_used"] == want_conv
+    # live image rows produce markdown only — no minted payload table
+    assert res.payloads is None or res.payloads.count() == 0
+
+
 def test_lazy_fetch_checkpoint_still_exact(spark):
     """eager_fetch_checkpoint=False (one lazy-checkpoint job per round)
     must preserve exact crawl order + seen set."""

@@ -337,36 +337,58 @@ def convert_stage(
     cfg: CrawlConfig | None = None,
     emit_markdown: bool = True,
     extractor=None,
+    payload_col: str | None = None,
 ) -> DataFrame:
     """mapInPandas convert pass over fetched rows (outcome='fetched').
 
     emit_markdown=False keeps the conversion work (the markdown is fully
     computed — its length is emitted) but skips shipping the body
-    through Arrow; benchmark sink-lean mode."""
+    through Arrow; benchmark sink-lean mode.
+
+    payload_col: LIVE mode — convert the REAL fetched bytes in that
+    column instead of minting from graph feature bits. page_id is NULL
+    in live mode, so a stable 63-bit md5 surrogate of the url stands in
+    (captions/ids stay deterministic). Live image rows convert to
+    metadata markdown but emit NO payload-table row: the image+caption
+    pair table (input_hint) is the minted corpus's contract — a real
+    deploy would extract captions from surrounding markup here."""
     cfg = cfg or CrawlConfig()
     max_bytes = cfg.max_bytes
 
     scale = cfg.payload_scale
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         breaker = _Breaker()
         for pdf in batches:
             out = {k: [] for k in CONVERT_SCHEMA.fieldNames()}
             for row in pdf.to_dict("records"):
-                pid = int(row["page_id"])
+                if payload_col is not None:
+                    raw = row[payload_col]
+                    payload = bytes(raw) if raw is not None else b""
+                    pid = row["page_id"]
+                    if pid is None or pd.isna(pid):  # NULL page_id -> NaN via Arrow
+                        pid = int.from_bytes(
+                            hashlib.md5(row["url"].encode()).digest()[:8], "big"
+                        ) >> 1
+                    minted = False
+                else:
+                    pid = int(row["page_id"])
+                    payload = mint_payload(row, scale)
+                    minted = True
                 ctype = row["content_type"]
-                payload = mint_payload(row, scale)
                 md, conv, trunc = convert_bytes(
-                    pid, ctype, payload, breaker, max_bytes, extractor
+                    int(pid), ctype, payload, breaker, max_bytes, extractor
                 )
                 out["url"].append(row["url"])
-                out["page_id"].append(pid)
+                out["page_id"].append(int(pid))
                 out["markdown"].append(md if emit_markdown else "")
                 out["markdown_length"].append(len(md))
                 out["converter_used"].append(conv)
                 out["truncated"].append(trunc)
-                if ctype.startswith("image/"):
-                    p = codec.make_payload_row(pid)
+                if minted and ctype.startswith("image/"):
+                    p = codec.make_payload_row(int(pid))
                     out["image_id"].append(p["image_id"])
                     out["image_bytes"].append(p["bytes"])
                     out["w"].append(p["w"])
@@ -384,4 +406,7 @@ def convert_stage(
                 res[k] = pd.array(out[k], dtype=dt)
             yield res
 
-    return fetched.select(*_FEATURE_COLS).mapInPandas(run, schema=CONVERT_SCHEMA)
+    cols = _FEATURE_COLS if payload_col is None else (
+        ["url", "page_id", "content_type", payload_col]
+    )
+    return fetched.select(*cols).mapInPandas(run, schema=CONVERT_SCHEMA)

@@ -198,16 +198,11 @@ class CrawlEngine:
         # repartition, in-partition transport retries, thread pool)
         # inside the SAME round loop: robots, budget, slots, seen-set,
         # status-code retries and ordering are shared code. Live-mode
-        # children come from the payload bytes (links_from_payloads).
-        # with_convert currently requires the simulated graph (the
-        # convert stage mints payloads from page ids).
+        # children come from the payload bytes (links_from_payloads),
+        # and with_convert converts the REAL payload bytes (image rows
+        # yield metadata markdown; the image+caption payload TABLE stays
+        # the minted corpus's contract, see convert_stage docstring).
         assert fetch_mode in ("simulated", "live")
-        if fetch_mode == "live" and with_convert:
-            raise NotImplementedError(
-                "with_convert is simulated-mode only: the convert stage "
-                "mints payloads from graph page ids; live payload "
-                "conversion lands in a later round"
-            )
         self.fetch_mode = fetch_mode
         self.transport_factory = transport_factory
         self.use_bloom = use_bloom
@@ -444,7 +439,10 @@ class CrawlEngine:
 
             if self.with_convert:
                 ok = fetched.filter(F.col("outcome") == "fetched")
-                conv = convert_stage(ok, cfg, emit_markdown=self.emit_markdown)
+                conv = convert_stage(
+                    ok, cfg, emit_markdown=self.emit_markdown,
+                    payload_col="payload" if self.fetch_mode == "live" else None,
+                )
                 conv_out = conv.select(
                     "url", "page_id", "markdown", "markdown_length",
                     "converter_used", "truncated",

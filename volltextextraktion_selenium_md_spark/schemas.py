@@ -56,6 +56,7 @@ FRONTIER = StructType([
     StructField("depth", IntegerType(), False),
     StructField("lineage", StringType(), False),
     StructField("priority", IntegerType(), False),
+    StructField("mode", StringType(), False),         # fast|js|auto (schemas.py:85-104)
     StructField("attempt", IntegerType(), False),
     StructField("round_added", IntegerType(), False),
 ])
@@ -68,6 +69,7 @@ FETCH_LOG = StructType([
     StructField("host", StringType(), False),
     StructField("depth", IntegerType(), False),
     StructField("lineage", StringType(), False),
+    StructField("mode", StringType(), False),         # ≙ request_mode
     StructField("attempt", IntegerType(), False),
     StructField("status_code", IntegerType(), True),
     StructField("final_url", StringType(), True),
