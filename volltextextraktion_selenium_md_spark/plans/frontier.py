@@ -443,27 +443,28 @@ class CrawlEngine:
                     ok, cfg, emit_markdown=self.emit_markdown,
                     payload_col="payload" if self.fetch_mode == "live" else None,
                 )
+                from volltextextraktion_selenium_md_spark.functions.classify import (
+                    error_page_detected,
+                )
+
+                # the reference flags error pages on the CONVERTED
+                # markdown of every response (main.py:433), not only on
+                # the LLM path — CrawlResponse.error_page_detected
                 conv_out = conv.select(
                     "url", "page_id", "markdown", "markdown_length",
                     "converter_used", "truncated",
+                ).withColumn(
+                    "error_page_detected",
+                    error_page_detected(F.col("markdown"), F.lit(None).cast("int")),
                 )
                 if self.with_llm:
-                    from volltextextraktion_selenium_md_spark.functions.classify import (
-                        error_page_detected,
-                    )
                     from volltextextraktion_selenium_md_spark.plans.llm import (
                         llm_postprocess_stage,
                     )
 
                     conv_out = llm_postprocess_stage(
-                        conv_out.withColumn(
-                            "error_page",
-                            error_page_detected(
-                                F.col("markdown"), F.lit(None).cast("int")
-                            ),
-                        ),
-                        error_col="error_page",
-                    ).drop("error_page")
+                        conv_out, error_col="error_page_detected"
+                    )
                 conversions.append(conv_out)
                 batch = conv.filter(F.col("image_id").isNotNull()).select(
                     "image_id",
