@@ -73,3 +73,39 @@ def test_redirect_flag(spark):
     ).collect()
     for r in rows:
         assert r["got"] == r["expected"]
+
+
+def test_extract_links_one_edge_cases():
+    """Reference extract_links_detailed parity cases (app/utils.py:
+    126-155): document order, quote styles, empty/missing href skipped,
+    nested markup stripped from text, whitespace collapsed, urljoin
+    against the base, duplicate anchors preserved (first-seen dedup is
+    downstream)."""
+    from volltextextraktion_selenium_md_spark.functions.urls import (
+        extract_links_one,
+    )
+
+    html = (
+        "<html><body>"
+        "<a href='https://x.com/a'>One</a>"
+        '<a class="z" href="/rel">  Two\n  words </a>'
+        "<a href=bare-quotes>Three</a>"
+        "<a href=''>skipped-empty</a>"
+        "<a name='anchor-no-href'>skipped-no-href</a>"
+        "<a href='https://x.com/a'><b>Nested</b> <i>text</i></a>"
+        "<A HREF='#frag'>Upper</A>"
+        "</body></html>"
+    )
+    got = extract_links_one(html, "https://base.example.com/dir/page")
+    assert got == [
+        (1, "https://x.com/a", "One"),
+        (2, "https://base.example.com/rel", "Two words"),
+        (3, "https://base.example.com/dir/bare-quotes", "Three"),
+        (4, "https://x.com/a", "Nested text"),
+        (5, "https://base.example.com/dir/page#frag", "Upper"),
+    ]
+    # anchors with markup-only bodies yield text=None (reference:
+    # get_text() or None)
+    assert extract_links_one("<a href='/x'><img src='i.png'/></a>", None) == [
+        (1, "/x", None)
+    ]
