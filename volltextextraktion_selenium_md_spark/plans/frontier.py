@@ -7,10 +7,17 @@ ordering semantics exactly (SURVEY §2.3):
 
 round k:  frontier --robots--> allowed | blocked
           allowed --budget rank cut--> admitted | deferred
-          admitted --slots--> --fetch join--> outcomes
-          fetched html --links join--> children --first-seen dedup-->
+          admitted --slots--> --time-budget cut--> (over budget -> deferred)
+          --fetch stage--> outcomes
+          fetched html --links--> children --first-seen dedup-->
           --seen anti-join--> unseen
           frontier(k+1) = deferred ∪ retries(attempt+1) ∪ unseen
+
+The fetch stage is either the simulated lookup join (deterministic,
+oracle-checkable) or the LIVE network stage (fetch_mode='live': salted
+mapInPandas, per-partition client + thread pool, children extracted
+from the payload bytes) — every other step is shared code, and each
+frontier row carries its request mode (fast/js/auto).
 
 Determinism: every cut and dedup orders by (depth, lineage) where
 lineage is the recursive crawl-order key (seed: zero-padded seed_idx;
