@@ -862,20 +862,29 @@ FROM lab l JOIN (
 """
 
 
+# bits 0..59 from md5 chars 1-15 (h), bits 60..63 from chars 16-30 (h2)
+# — mirrors dedup.simhash/_md5_hash60_hi exactly
+_HEX15_HI = "CAST('0x' || substr(md5({x}), 16, 15) AS BIGINT)"
+
 _SIMHASH_CTE = f"""
 SELECT doc_id, {", ".join(
-    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+    f"sum(CASE WHEN ({'h' if b < 60 else 'h2'} >> {b if b < 60 else b - 60}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END) AS s_{b}"
     for b in range(SIMHASH_BITS)
 )}
 FROM (
-  SELECT doc_id, {_HEX15.format(x="tok")} AS h FROM (
+  SELECT doc_id, {_HEX15.format(x="tok")} AS h, {_HEX15_HI.format(x="tok")} AS h2
+  FROM (
     SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
   ) t0
 ) t1 GROUP BY doc_id
 """
 
+# bit 63 contributes the signed two's-complement term -2^63, matching
+# the Spark side's int64 assembly
 _SIMHASH_FP = "CAST(" + " + ".join(
-    f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    f"CASE WHEN s_{b} > 0 THEN {1 << b if b < 63 else -(1 << 63)} ELSE 0 END"
+    for b in range(SIMHASH_BITS)
 ) + " AS BIGINT)"
 
 
@@ -898,10 +907,17 @@ def sql_simhash_dup_pairs() -> str:
 WITH sums AS ({_SIMHASH_CTE}),
 sh AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM sums),
 banded AS ({band_sel}),
+capped AS (
+  SELECT doc_id, simhash, band, bucket FROM (
+    SELECT doc_id, simhash, band, bucket,
+           row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= {Q.SIMHASH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          x.simhash AS sh_a, y.simhash AS sh_b
-  FROM banded x JOIN banded y
+  FROM capped x JOIN capped y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming

@@ -40,6 +40,7 @@ MINHASH_BANDS = 4
 LSH_EST_T = 0.25
 LSH_MAX_BUCKET = 64
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_BUCKET = 64
 COS_QUERY_IDS = list(range(10))
 COS_K = 5
 LSH_PLANES = 4
@@ -664,7 +665,11 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_dup_pairs(spark, sf_dir):
-    return dedup.simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+    return dedup.simhash_dup_pairs(
+        _docs(spark, sf_dir),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
 
 
 # --- training-data pipeline: similarity search --------------------------------
