@@ -68,6 +68,32 @@ def test_cuckoo_serialization():
     assert cf2.n_buckets == cf.n_buckets
 
 
+def test_sharded_cuckoo_reads_legacy_blob():
+    """Round-3 ADVICE: a checkpoint blob written by the pre-sharding
+    CuckooFilter (first int64 = n_buckets > 0) loads as a one-shard
+    filter with identical membership; garbage blobs raise a
+    descriptive format error instead of a bare assert."""
+    import pytest
+
+    from volltextextraktion_selenium_md_spark.operators.filters import (
+        ShardedCuckooFilter,
+    )
+
+    keys = _keys(300, 11)
+    legacy = CuckooFilter(600)
+    legacy.insert(keys)
+    wrapped = ShardedCuckooFilter.from_bytes(legacy.to_bytes())
+    assert wrapped.n_shards == 1
+    assert wrapped.contains(keys).all()
+    # round-trips in the NEW format afterwards
+    again = ShardedCuckooFilter.from_bytes(wrapped.to_bytes())
+    assert again.contains(keys).all()
+    with pytest.raises(ValueError, match="incompatible seen_cuckoo"):
+        ShardedCuckooFilter.from_bytes(
+            np.array([-999999, 4], dtype=np.int64).tobytes()
+        )
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=200, unique=True))
 def test_cuckoo_property_membership(xs):

@@ -75,6 +75,31 @@ def test_timeout_and_round_time_budget_match(spark):
     assert any(with_b[u] > without.get(u, 0) for u in with_b)
 
 
+def test_js_strategy_mix_matches_replay(spark):
+    """js_strategy speed/accuracy pools (reference js_fetcher.py:
+    201-202): a timeout cap between the speed charge (JS_LIGHT 120ms)
+    and the accuracy charge (120+180=300ms) makes the pool choice
+    OUTCOME-visible — accuracy JS renders time out, speed ones fetch —
+    and the engine still matches the golden replay row for row."""
+    cfg = CrawlConfig(timeout_ms=200, max_rounds=20)
+    rep = replay_crawl(SF_SMALL, cfg)
+    res = CrawlEngine(spark, SF_SMALL, cfg).run()
+    assert _spark_order(res) == _gold_order(rep)
+    assert {r["url"] for r in res.seen.collect()} == rep.seen
+    # non-vacuous: the seed list actually mixes both pools, and the
+    # SAME (mode, outcome-eligible) shape diverges by pool — find an
+    # auto/js row pair where accuracy timed out but speed fetched
+    by_pool = {"speed": set(), "accuracy": set()}
+    for g in rep.crawl_order:
+        if g["mode"] in ("js", "auto"):
+            by_pool[g["js_strategy"]].add(g["outcome"])
+    assert {"speed", "accuracy"} == {
+        g["js_strategy"] for g in rep.crawl_order
+    }
+    assert "fetched" in by_pool["speed"]
+    assert {"retry", "failed"} & by_pool["accuracy"]
+
+
 def test_blocked_rows_match_replay(spark):
     cfg = CrawlConfig()
     rep = replay_crawl(SF_SMALL, cfg)
@@ -126,7 +151,7 @@ def test_live_fetch_mode_engine_replay_match(spark):
 
     def make_factory(pages=pages, links=links):
         def factory():
-            def call(url, user_agent, timeout_s, max_bytes):
+            def call(url, user_agent, timeout_s, max_bytes, **kw):
                 page = pages.get(url)
                 if page is None:
                     raise ConnectionError("no such host")
@@ -185,7 +210,7 @@ def test_live_fetch_with_convert(spark):
     pages, links, _seeds, _robots = _load_graph(SF_SMALL)
 
     def factory(pages=pages, links=links):
-        def call(url, user_agent, timeout_s, max_bytes):
+        def call(url, user_agent, timeout_s, max_bytes, **kw):
             page = pages.get(url)
             if page is None:
                 raise ConnectionError("no such host")

@@ -28,7 +28,7 @@ def _make_mock_factory():
     def factory():
         calls = {}  # per-partition client state (connection-reuse analogue)
 
-        def call(url, user_agent, timeout_s, max_bytes):
+        def call(url, user_agent, timeout_s, max_bytes, **kw):
             assert user_agent  # UA header always set (http_fetcher.py:36-37)
             path = url.rsplit("/", 1)[-1]
             if path == "down":
@@ -116,7 +116,7 @@ def test_live_fetch_concurrent_within_partition(spark):
         state = {"in_flight": 0, "max_in_flight": 0}
         gate = threading.Barrier(2, timeout=20)  # needs 2 overlapping calls
 
-        def call(url, user_agent, timeout_s, max_bytes):
+        def call(url, user_agent, timeout_s, max_bytes, **kw):
             with lock:
                 state["in_flight"] += 1
                 state["max_in_flight"] = max(
@@ -142,6 +142,93 @@ def test_live_fetch_concurrent_within_partition(spark):
     for r in got:
         assert r["status_code"] == 200 and r["error"] is None
         assert int(bytes(r["payload"]).split(b"=")[1]) >= 2
+
+
+def test_live_fetch_timeout_from_config(spark):
+    """Round-3 verdict fix: the transport timeout derives from
+    cfg.timeout_ms (reference default 30 s, schemas.py:116-128), not a
+    hardcoded 10 s — and a request slower than the configured cap times
+    out and re-enters the in-partition retry loop."""
+    from volltextextraktion_selenium_md_spark.plans.fetch import live_fetch
+
+    def factory():
+        def call(url, user_agent, timeout_s, max_bytes, **kw):
+            # modeled latency: /slow needs 5 s, /quick needs 1 s; the
+            # transport times out iff the cap is below the model
+            need_s = 5.0 if url.endswith("/slow") else 1.0
+            if timeout_s < need_s:
+                raise TimeoutError(f"exceeded {timeout_s}s")
+            return 200, url, f"t={timeout_s}".encode(), "text/html"
+
+        return call
+
+    cfg = CrawlConfig(timeout_ms=2500, retries=1)
+    rows = {
+        r["url"]: r
+        for r in live_fetch(
+            _frontier(spark, ["https://h0.example.com/quick",
+                              "https://h0.example.com/slow"]),
+            cfg, transport_factory=factory, num_partitions=1,
+        ).collect()
+    }
+    quick = rows["https://h0.example.com/quick"]
+    assert bytes(quick["payload"]) == b"t=2.5"  # cfg-derived cap reached the transport
+    slow = rows["https://h0.example.com/slow"]  # timed out, retried, exhausted
+    assert slow["status_code"] is None and "TimeoutError" in slow["error"]
+    assert slow["attempts_used"] == 2 and slow["backoff_ms"] == 3000
+    # default CrawlConfig: the reference's 30 s reaches the transport
+    got = live_fetch(
+        _frontier(spark, ["https://h0.example.com/slow"]), CrawlConfig(),
+        transport_factory=factory, num_partitions=1,
+    ).collect()[0]
+    assert bytes(got["payload"]) == b"t=30.0"
+
+
+def test_live_fetch_proxy_and_ssl_reach_transport(spark):
+    """Round-3 verdict fix: per-request proxy + allow_insecure_ssl are
+    plumbed into the transport (reference app/http_fetcher.py:45-53),
+    with the proxy normalized by the P1 operator first; absent columns
+    fall back to the config defaults."""
+    from volltextextraktion_selenium_md_spark.plans.fetch import live_fetch
+
+    def factory():
+        def call(url, user_agent, timeout_s, max_bytes, proxy=None, verify=True):
+            body = f"proxy={proxy} verify={verify}".encode()
+            return 200, url, body, "text/html"
+
+        return call
+
+    f = spark.createDataFrame(
+        [
+            ("https://h0.example.com/a", "h0.example.com", 0, "000000", 0,
+             "socks5://10.0.0.1:1080", True),
+            ("https://h0.example.com/b", "h0.example.com", 0, "000001", 0,
+             "ftp://not-a-proxy:21", False),   # P1 rejects -> no proxy
+            ("https://h0.example.com/c", "h0.example.com", 0, "000002", 0,
+             None, False),
+        ],
+        "url string, host string, depth int, lineage string, attempt int, "
+        "proxy string, allow_insecure_ssl boolean",
+    )
+    rows = {
+        r["url"]: bytes(r["payload"]).decode()
+        for r in live_fetch(
+            f, CrawlConfig(), transport_factory=factory, num_partitions=1
+        ).collect()
+    }
+    assert rows["https://h0.example.com/a"] == "proxy=socks5://10.0.0.1:1080 verify=False"
+    assert rows["https://h0.example.com/b"] == "proxy=None verify=True"
+    assert rows["https://h0.example.com/c"] == "proxy=None verify=True"
+
+    # no frontier columns -> config defaults flow through
+    got = live_fetch(
+        _frontier(spark, ["https://h0.example.com/d"]),
+        CrawlConfig(proxy="http://proxy.example.com:8080", allow_insecure_ssl=True),
+        transport_factory=factory, num_partitions=1,
+    ).collect()[0]
+    assert bytes(got["payload"]).decode() == (
+        "proxy=http://proxy.example.com:8080 verify=False"
+    )
 
 
 def test_live_fetch_salts_hot_host(spark):

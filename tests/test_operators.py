@@ -157,6 +157,77 @@ def test_convert_chain_branches():
     assert trunc is True
 
 
+def test_convert_media_branch_per_policy():
+    """Round-3 verdict fix: audio/video rows convert IN-CHAIN per the
+    request's media policy (reference converter.py:155-158, 253-282) —
+    identical markdown to the standalone C6 operator for all four
+    policies, and the engine's graph now mints media pages so the
+    branch actually runs in-engine."""
+    from volltextextraktion_selenium_md_spark.functions.mime import (
+        media_policy_markdown_py,
+    )
+
+    br = _Breaker()
+    mb = 10 * 1024 * 1024
+    body = b"\x01" * 300
+    for ctype in ("audio/mpeg", "video/mp4; codecs=avc1"):
+        for policy in ("skip", "none", "metadata", "full"):
+            md, conv, trunc = convert_bytes(
+                11, ctype, body, br, mb, media_policy=policy
+            )
+            assert conv == "media" and trunc is False
+            base = ctype.split(";")[0].strip().lower()
+            assert md == media_policy_markdown_py(base, policy, len(body))
+    # policy content spot checks
+    md, _, _ = convert_bytes(11, "audio/mpeg", body, br, mb, media_policy="metadata")
+    assert '"size_bytes": 300' in md and '"content_type": "audio/mpeg"' in md
+    md, _, _ = convert_bytes(11, "audio/mpeg", body, br, mb, media_policy="none")
+    assert md == ""
+
+
+def test_convert_forced_html_converter():
+    """Per-request html_converter override (reference schemas.py:44-53):
+    the forced tier runs with no fallback; 'auto'/None keeps the
+    3-tier chain; kmap still wins before the forced tier."""
+    import json
+
+    br = _Breaker()
+    mb = 10 * 1024 * 1024
+    html = (
+        b"<html><body><div><p>outside main content that is long enough"
+        b" to matter</p></div><main><p>"
+        + b"inside main " * 20 + b"</p></main></body></html>"
+    )
+    md, conv, _ = convert_bytes(12, "text/html", html, br, mb,
+                                forced_converter="strip")
+    assert conv == "strip" and "outside main" in md
+    md, conv, _ = convert_bytes(12, "text/html", html, br, mb,
+                                forced_converter="full")
+    assert conv == "full" and "outside main" in md and "inside main" in md
+    md, conv, _ = convert_bytes(12, "text/html", html, br, mb,
+                                forced_converter="main")
+    assert conv == "main" and "outside main" not in md
+    # forced 'main' on a page WITHOUT <main> returns empty, no fallback
+    md, conv, _ = convert_bytes(
+        13, "text/html", b"<html><div>no main here</div></html>", br, mb,
+        forced_converter="main",
+    )
+    assert conv == "main" and md == ""
+    # auto keeps the chain
+    _, conv, _ = convert_bytes(12, "text/html", html, br, mb,
+                               forced_converter="auto")
+    assert conv == "main"
+    # kmap beats the forced tier (reference gate runs before dispatch)
+    kmap_html = (
+        "<html><script id='embedded-topic' type='application/json'>"
+        + json.dumps({"description": "D " * 500})
+        + "</script><main><p>short</p></main></html>"
+    ).encode()
+    _, conv, _ = convert_bytes(14, "text/html", kmap_html, br, mb,
+                               forced_converter="strip")
+    assert conv == "kmap"
+
+
 def test_kmap_gate_800_chars():
     import json
 

@@ -109,3 +109,30 @@ def test_extract_links_one_edge_cases():
     assert extract_links_one("<a href='/x'><img src='i.png'/></a>", None) == [
         (1, "/x", None)
     ]
+
+
+def test_extract_links_one_ignores_dead_regions():
+    """Round-3 ADVICE: anchor literals inside <script>, <style>, or
+    <!-- comments --> are raw text to an HTML parser (BS4 parity) and
+    must not feed the frontier; live anchors around them keep their
+    document positions."""
+    from volltextextraktion_selenium_md_spark.functions.urls import (
+        extract_links_one,
+    )
+
+    html = (
+        "<html><head>"
+        "<script>var tpl = \"<a href='/from-script'>x</a>\";</script>"
+        "<style>a::after { content: \"<a href='/from-style'>y</a>\"; }</style>"
+        "</head><body>"
+        "<a href='/live-1'>First</a>"
+        "<!-- <a href='/from-comment'>z</a> -->"
+        "<SCRIPT type='text/javascript'>document.write('<a href=/w>w</a>')</SCRIPT>"
+        "<a href='/live-2'>Second</a>"
+        "</body></html>"
+    )
+    got = extract_links_one(html, "https://base.example.com")
+    assert got == [
+        (1, "https://base.example.com/live-1", "First"),
+        (2, "https://base.example.com/live-2", "Second"),
+    ]

@@ -35,6 +35,13 @@ class CrawlConfig:
     # path, which retries like any transport failure
     timeout_ms: int = 30_000
 
+    # transport-level request options (reference schemas.py:105-115 /
+    # http_fetcher.py:45-53): default proxy URL (normalized by the P1
+    # operator before reaching the transport; per-row frontier columns
+    # override when present) and the SSL-verification toggle
+    proxy: str | None = None
+    allow_insecure_ssl: bool = False
+
     # retry semantics (reference: for attempt in range(retries+1),
     # backoff min(2**attempt, 5)s [app/http_fetcher.py:64-83])
     retries: int = 1
@@ -43,6 +50,12 @@ class CrawlConfig:
     # payload caps (reference defaults: max_bytes 10 MiB within
     # [1 KiB, 100 MiB], app/schemas.py:156-169)
     max_bytes: int = 10 * 1024 * 1024
+
+    # audio/video conversion policy (reference
+    # media_conversion_policy, schemas.py / converter.py:253-282):
+    # skip | none | metadata | full; per-row `media_policy` frontier
+    # column overrides when present
+    media_policy: str = "skip"
 
     # in-flight requests per partition in live_fetch (the reference's
     # async httpx under an 8-slot semaphore, app/main.py:27-28) —
@@ -60,6 +73,13 @@ class CrawlConfig:
     http_only_text_len: int = 800
     second_chance_text_len: int = 700
     js_light_thin_text_len: int = 500
+
+    # js_strategy 'accuracy' surcharge, ms: the reference runs two
+    # Selenium pools (speed vs accuracy, app/js_fetcher.py:201-202)
+    # with documented latency bands 2-6 s vs 8-12 s (README.md:362-363)
+    # — midpoint ratio 4:10, so the accuracy pool adds 1.5x the base
+    # JS_LIGHT charge (120 -> 300) on any request that actually renders
+    js_accuracy_extra_ms: int = 180
 
     # fetch-stage cost model, ms/page — midpoints of the reference's
     # documented latency ranges (README.md:223,362,363; BASELINE.md)

@@ -110,6 +110,27 @@ def media_policy_markdown(
     )
 
 
+def media_policy_markdown_py(
+    content_type: str, policy: str, n_bytes: int
+) -> str | None:
+    """Scalar twin of `media_policy_markdown` (same templates, shared
+    by the convert chain's in-engine audio/video branch —
+    app/converter.py:155-158, 253-282). Non-media -> None."""
+    ct = (content_type or "").split(";")[0].strip().lower()
+    if not (ct.startswith("audio/") or ct.startswith("video/")):
+        return None
+    if policy == "none":
+        return ""
+    if policy == "metadata":
+        return (
+            '# Media Metadata\n\n```json\n{"content_type": "' + ct
+            + '", "size_bytes": ' + str(n_bytes) + "}\n```"
+        )
+    if policy == "full":
+        return f"# Media Content\n\n[media transcription not available: {ct}]"
+    return f"# Media Content\n\n[media content skipped: {ct}]"
+
+
 def truncate_payload(payload: Column, max_bytes: int) -> tuple[Column, Column]:
     """max_bytes byte-budget cut + truncated flag
     (app/http_fetcher.py:71-79). Returns (bytes_col, truncated_col)."""

@@ -93,7 +93,16 @@ def extract_links_one(html: str, base_url: str) -> list[tuple[int, str, str | No
     1-based ``(doc_pos, absolute_url, text)`` — doc_pos is the anchor's
     ORIGINAL document position; per-page dedup is NOT done here (the
     engine's first-seen dedup downstream keeps the first occurrence,
-    which is exactly the reference's order-preserving set walk)."""
+    which is exactly the reference's order-preserving set walk).
+
+    Script/style/comment regions are stripped FIRST (round-3 ADVICE):
+    BS4 treats their contents as raw text, so an ``<a href>`` literal
+    inside ``<script>``, ``<style>``, or ``<!-- -->`` is NOT a live
+    link and must not feed the frontier. Documented remaining
+    divergence from a real HTML parser: an anchor whose quoted
+    attribute value contains ``>`` (e.g. ``title="a>b"``) is mis-split
+    by the tag regex — pathological markup the synthetic corpus and
+    the oracle both exclude."""
     global _A_TAG_RE
     import re
 
@@ -102,8 +111,13 @@ def extract_links_one(html: str, base_url: str) -> list[tuple[int, str, str | No
             re.compile(r"<a\b([^>]*)>(.*?)</a\s*>", re.S | re.I),
             re.compile(r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I),
             re.compile(r"<[^>]+>"),
+            re.compile(
+                r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->",
+                re.S | re.I,
+            ),
         )
-    a_re, href_re, tag_re = _A_TAG_RE
+    a_re, href_re, tag_re, dead_re = _A_TAG_RE
+    html = dead_re.sub(" ", html)
     out = []
     pos = 0
     for m in a_re.finditer(html):

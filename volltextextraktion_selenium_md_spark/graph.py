@@ -69,6 +69,8 @@ SELECT
        WHEN b.page_id % 10 = 7 THEN 'application/rss+xml; charset=utf-8'
        WHEN b.page_id % 10 = 8 THEN 'image/jpeg'
        WHEN b.page_id % 10 = 9 THEN 'application/octet-stream'
+       WHEN b.page_id % 40 = 5 THEN 'audio/mpeg'
+       WHEN b.page_id % 40 = 25 THEN 'video/mp4'
        ELSE 'text/html; charset=utf-8' END AS content_type,
   CAST((b.page_id * 37) % 1600 AS INT) AS text_len,
   b.page_id % 4 <> 0 AS has_main,
@@ -131,7 +133,8 @@ SELECT
   CASE s.seed_idx % 5
     WHEN 0 THEN 'fast'
     WHEN 1 THEN 'js'
-    ELSE 'auto' END AS mode
+    ELSE 'auto' END AS mode,
+  CASE WHEN s.seed_idx % 4 = 2 THEN 'accuracy' ELSE 'speed' END AS js_strategy
 FROM (
   SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS seed_idx,
          CAST(c_custkey % 3 AS INT) AS priority,
@@ -282,6 +285,7 @@ def mirror_seeds(seeds_df: DataFrame, R: int, id_span: int) -> DataFrame:
         _rewrite_host_str(F.col("url")).alias("url"),
         _rewrite_host_str(F.col("host")).alias("host"),
         "mode",
+        "js_strategy",
     )
 
 

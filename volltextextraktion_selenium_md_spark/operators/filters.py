@@ -263,7 +263,23 @@ class ShardedCuckooFilter:
     @classmethod
     def from_bytes(cls, raw: bytes) -> "ShardedCuckooFilter":
         magic, n_shards = np.frombuffer(raw[:16], dtype=np.int64)
-        assert magic == cls.MAGIC, "not a ShardedCuckooFilter blob"
+        if magic != cls.MAGIC:
+            if magic > 0:
+                # legacy layout (round-3 ADVICE): a checkpoint written
+                # by the pre-sharding CuckooFilter starts with
+                # n_buckets > 0 — wrap it as a single shard (routing
+                # pmod(h, 1) == 0 sends every key to it, so membership
+                # semantics are unchanged)
+                obj = cls.__new__(cls)
+                obj.n_shards = 1
+                obj.shards = [CuckooFilter.from_bytes(raw)]
+                return obj
+            raise ValueError(
+                f"incompatible seen_cuckoo checkpoint blob (magic={int(magic)}): "
+                "neither a ShardedCuckooFilter nor a legacy CuckooFilter "
+                "layout — the checkpoint was written by an unknown format; "
+                "delete the blob to rebuild the ledger from the seen table"
+            )
         obj = cls.__new__(cls)
         obj.n_shards = int(n_shards)
         obj.shards = []

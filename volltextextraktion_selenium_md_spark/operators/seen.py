@@ -334,3 +334,33 @@ def filter_unseen(
         definitely_new, maybe_seen = bloom_prefilter(candidates, bloom)
     checked = maybe_seen.join(seen.select("url"), on="url", how="left_anti")
     return definitely_new.unionByName(checked)
+
+
+def filter_unseen_parts(
+    candidates: DataFrame,
+    seen_parts: list[DataFrame],
+    bloom: BloomFilter | None = None,
+) -> DataFrame:
+    """`filter_unseen` against a seen set maintained as BASE + DELTAS
+    (round-4 rounds-phase fix): the engine keeps the compacted base
+    hash-partitioned AND sorted on url (partitioning captured through
+    `localCheckpoint`), so the base-side anti-join needs NO exchange
+    and NO sort — the per-round shuffle volume is O(candidates + recent
+    deltas), never O(total seen). Deltas (≤ compact-interval of them)
+    anti-join in sequence; each is round-sized, so AQE broadcasts them.
+    Semantics are identical to the union form: a url is unseen iff it
+    is in no part."""
+    if bloom is None:
+        maybe_seen = candidates
+        definitely_new = None
+    elif isinstance(bloom, SeenSet):
+        definitely_new, maybe_seen = bloom.partitioned_prefilter(candidates)
+    else:
+        definitely_new, maybe_seen = bloom_prefilter(candidates, bloom)
+    for part in seen_parts:
+        maybe_seen = maybe_seen.join(
+            part.select("url"), on="url", how="left_anti"
+        )
+    if definitely_new is None:
+        return maybe_seen
+    return definitely_new.unionByName(maybe_seen)

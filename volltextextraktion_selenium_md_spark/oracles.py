@@ -333,21 +333,32 @@ FROM routed
 
 
 def _cost_case() -> str:
-    """Modeled request latency (twin of plans/fetch.py's cost column)."""
+    """Modeled request latency (twin of plans/fetch.py's cost column,
+    incl. the js_strategy 'accuracy' pool surcharge on any branch that
+    actually renders through Selenium)."""
     from volltextextraktion_selenium_md_spark.config import CrawlConfig
 
     cfg = CrawlConfig()
+    x = cfg.js_accuracy_extra_ms
+    acc = "js_strategy = 'accuracy'"
     per_strategy = "\n".join(
         f"    WHEN {_strategy_case()} = '{s}' THEN {ms}"
+        + (
+            f" + CASE WHEN {acc} THEN {x} ELSE 0 END"
+            if s in ("JS_LIGHT", "JS_LIGHT_CONSENT")
+            else ""
+        )
         for s, ms in cfg.cost_ms.items()
     )
     return f"""
 CASE
   WHEN mode = 'fast' THEN {cfg.cost_ms['HTTP_ONLY']}
-  WHEN mode = 'js' THEN {cfg.cost_ms['JS_LIGHT']}
+  WHEN mode = 'js'
+       THEN {cfg.cost_ms['JS_LIGHT']} + CASE WHEN {acc} THEN {x} ELSE 0 END
   WHEN {_strategy_case()} = 'HTTP_THEN_JS'
        AND text_len < {cfg.second_chance_text_len}
        THEN {cfg.cost_ms['HTTP_THEN_JS'] + cfg.cost_ms['JS_LIGHT']}
+            + CASE WHEN {acc} THEN {x} ELSE 0 END
 {per_strategy}
 END
 """
@@ -362,10 +373,10 @@ def sql_fetch_timeout() -> str:
         _with({"mode_cases": Q.MODE_CASES_BODY})
         + f"""
 , costed AS (
-  SELECT p.page_id, m.mode, p.status, ({_cost_case()}) AS cost
+  SELECT p.page_id, m.mode, m.js_strategy, p.status, ({_cost_case()}) AS cost
   FROM mode_cases m JOIN g_pages p ON p.page_id = m.page_id
 )
-SELECT page_id, mode,
+SELECT page_id, mode, js_strategy,
   CASE
     WHEN (status IN ({retryables}) OR cost > {Q.TIMEOUT_CASE_MS})
          AND 0 < {cfg.retries} THEN 'retry'
@@ -567,17 +578,20 @@ FROM error_html_cases
 def sql_converter_route() -> str:
     """Re-derives convert_stage's converter tier from the deterministic
     payload-mint rules (plans/convert.py:mint_payload + convert_bytes):
-    image/octet/pdf/rss route on content type; the mislabeled-PDF page
-    (page_id%20=16, P8) falls into the html chain; kmap wins on the
-    embedded-topic pages (page_id%31=0, C3, desc always >=800 chars);
-    'main' needs <main> present and the extracted text
-    ('# Page {{id}}' + blank line + body) to reach 80 chars; everything
-    else lands in 'full' (the <title> text keeps tier 2 non-empty, so
-    tier-3 'strip' is unreachable on this corpus)."""
+    image/octet/pdf/rss/media route on content type; the mislabeled-PDF
+    page (page_id%20=16, P8) falls into the html chain — where a forced
+    html_converter wins (its payload has no kmap script), else 'full';
+    kmap wins on the embedded-topic pages (page_id%31=0, C3, desc
+    always >=800 chars) BEFORE the forced tier (the reference's
+    embedded-JSON gate runs before converter dispatch); then the forced
+    tier, then 'main' (needs <main> present and the extracted text to
+    reach 80 chars), else 'full' (the <title> text keeps tier 2
+    non-empty, so tier-3 'strip' is only reachable when forced)."""
     main_len = (
         "7 + length(CAST(page_id AS STRING)) + "
         "CASE WHEN text_len > 0 THEN 2 + text_len ELSE 0 END"
     )
+    forced = Q.HTML_CONVERTER_CASE
     return (
         _with({})
         + f"""
@@ -587,8 +601,12 @@ SELECT page_id,
     WHEN content_type LIKE 'application/octet-stream%' THEN 'bypass'
     WHEN content_type LIKE 'application/pdf%' AND page_id % 20 <> 16 THEN 'pdf'
     WHEN content_type LIKE 'application/rss%' THEN 'rss'
+    WHEN content_type LIKE 'audio/%' OR content_type LIKE 'video/%' THEN 'media'
+    WHEN content_type LIKE 'application/pdf%' AND ({forced}) IS NOT NULL
+         THEN ({forced})
     WHEN content_type LIKE 'application/pdf%' THEN 'full'
     WHEN page_id % 31 = 0 THEN 'kmap'
+    WHEN ({forced}) IS NOT NULL THEN ({forced})
     WHEN has_main AND ({main_len}) >= 80 THEN 'main'
     ELSE 'full'
   END AS converter_used

@@ -87,6 +87,10 @@ def mint_payload(row: dict, scale: int = 1) -> bytes:
         return b"%PDF-1.4 " + _body_text(pid, 200 * scale).encode()
     if ctype.startswith("application/octet-stream"):
         return bytes([pid % 256]) * 64
+    if ctype.startswith("audio/") or ctype.startswith("video/"):
+        # opaque media body; only the deterministic LENGTH matters (the
+        # metadata policy reports size_bytes)
+        return bytes([(pid + 1) % 256]) * (64 + pid % 1000)
     if ctype.startswith("application/rss"):
         items = "".join(
             f"<item><title>entry {pid}-{i}</title></item>" for i in range(3 * scale)
@@ -254,11 +258,17 @@ class _Breaker:
 
 def convert_bytes(
     pid: int, ctype: str, payload: bytes, breaker: _Breaker, max_bytes: int,
-    extractor=None,
+    extractor=None, media_policy: str = "skip",
+    forced_converter: str | None = None,
 ) -> tuple[str, str, bool]:
     """Returns (markdown, converter_used, truncated). Never raises (C9).
     `extractor` (default `_extract`) is injectable so tests can poison
-    the heavy tier and observe the breaker trip."""
+    the heavy tier and observe the breaker trip. `media_policy` governs
+    the in-chain audio/video branch (C6, reference converter.py:155-158,
+    253-282). `forced_converter` pins the HTML tier to 'main'/'full'/
+    'strip' (the reference's per-request html_converter override,
+    schemas.py:44-53, dispatch converter.py:208-246); None/'auto' keeps
+    the 3-tier fallback chain."""
     extract = extractor or _extract
     truncated = len(payload) > max_bytes
     if truncated:
@@ -269,6 +279,16 @@ def convert_bytes(
             base_ctype = "text/html"  # P8
         if base_ctype == "application/octet-stream":
             return _OCTET_TEMPLATE.format(n=len(payload)), "bypass", truncated  # P9
+        if base_ctype.startswith("audio/") or base_ctype.startswith("video/"):
+            # C6 in-chain: audio/video renders per the request's media
+            # policy (round-3 verdict fix — previously a standalone
+            # operator the engine never ran)
+            from volltextextraktion_selenium_md_spark.functions.mime import (
+                media_policy_markdown_py,
+            )
+
+            md = media_policy_markdown_py(base_ctype, media_policy, len(payload))
+            return md, "media", truncated
         if base_ctype.startswith("image/"):
             arr = codec.decode(payload)
             cap = codec.synth_caption(pid)
@@ -285,6 +305,18 @@ def convert_bytes(
         kmap = _kmap_probe(html)
         if kmap is not None:
             return _polish(kmap), "kmap", truncated
+        if forced_converter and forced_converter != "auto":
+            # per-request converter override: the forced tier runs with
+            # NO fallback — a failure is a conversion failure (C9 outer
+            # containment), exactly the reference's forced dispatch
+            if forced_converter == "strip":
+                stripped = re.sub(r"<[^>]+>", " ", html)
+                return _polish(re.sub(r"\s+", " ", stripped).strip()), "strip", truncated
+            return (
+                _polish(extract(html, main_only=forced_converter == "main")),
+                forced_converter,
+                truncated,
+            )
         # three-tier fallback chain (C1): content-only -> full text ->
         # raw strip; each tier isolated (converter.py:208-246)
         if not breaker.open:
@@ -351,9 +383,17 @@ def convert_stage(
     (captions/ids stay deterministic). Live image rows convert to
     metadata markdown but emit NO payload-table row: the image+caption
     pair table (input_hint) is the minted corpus's contract — a real
-    deploy would extract captions from surrounding markup here."""
+    deploy would extract captions from surrounding markup here.
+
+    Per-request overrides (reference schemas.py:44-53): a
+    ``media_policy`` column (else ``cfg.media_policy``) governs the
+    audio/video branch, an ``html_converter`` column forces the HTML
+    tier ('main'/'full'/'strip'; NULL/'auto' keeps the chain)."""
     cfg = cfg or CrawlConfig()
     max_bytes = cfg.max_bytes
+    default_policy = cfg.media_policy
+    has_policy_col = "media_policy" in fetched.columns
+    has_forced_col = "html_converter" in fetched.columns
 
     scale = cfg.payload_scale
 
@@ -378,8 +418,13 @@ def convert_stage(
                     payload = mint_payload(row, scale)
                     minted = True
                 ctype = row["content_type"]
+                policy = (
+                    row["media_policy"] if has_policy_col else None
+                ) or default_policy
+                forced = row["html_converter"] if has_forced_col else None
                 md, conv, trunc = convert_bytes(
-                    int(pid), ctype, payload, breaker, max_bytes, extractor
+                    int(pid), ctype, payload, breaker, max_bytes, extractor,
+                    media_policy=policy, forced_converter=forced,
                 )
                 out["url"].append(row["url"])
                 out["page_id"].append(int(pid))
@@ -409,4 +454,8 @@ def convert_stage(
     cols = _FEATURE_COLS if payload_col is None else (
         ["url", "page_id", "content_type", payload_col]
     )
+    cols = cols + [
+        c for c in ("media_policy", "html_converter")
+        if c in fetched.columns and c not in cols
+    ]
     return fetched.select(*cols).mapInPandas(run, schema=CONVERT_SCHEMA)

@@ -77,8 +77,8 @@ from volltextextraktion_selenium_md_spark.plans.fetch import (
 )
 
 FRONTIER_COLS = [
-    "url", "host", "depth", "lineage", "priority", "mode", "attempt",
-    "round_added",
+    "url", "host", "depth", "lineage", "priority", "mode", "js_strategy",
+    "attempt", "round_added",
 ]
 
 LOG_COLS = [
@@ -152,11 +152,17 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
     """Seed rows -> canonical frontier (depth 0), first-seen deduped in
     seed order (reference's per-page order-preserving dedup semantics,
     app/utils.py:48-55, applied to the seed list)."""
-    seeds = (seeds_df if seeds_df is not None else graph.seeds(spark)).select(
+    src = seeds_df if seeds_df is not None else graph.seeds(spark)
+    js_strategy = (
+        F.col("js_strategy") if "js_strategy" in src.columns
+        else F.lit("speed")  # reference default (schemas.py js_strategy)
+    )
+    seeds = src.select(
         canonicalize_url(F.col("raw_url")).alias("url"),
         F.col("seed_idx"),
         F.col("priority"),
         F.col("mode"),
+        js_strategy.alias("js_strategy"),
     )
     f = seeds.select(
         "url",
@@ -164,10 +170,12 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         F.lit(0).alias("depth"),
         _pad6(F.col("seed_idx")).alias("lineage"),
         F.col("priority"),
-        # per-request fetch mode (reference schemas.py:85-104); a crawl
-        # loop re-POSTs children with the same request settings, so
-        # children inherit the seed's mode
+        # per-request fetch mode + JS pool (reference schemas.py:85-104,
+        # js_strategy speed/accuracy pools js_fetcher.py:201-202); a
+        # crawl loop re-POSTs children with the same request settings,
+        # so children inherit the seed's mode and js_strategy
         F.col("mode"),
+        F.col("js_strategy"),
         F.lit(0).alias("attempt"),
         F.lit(0).alias("round_added"),
     )
@@ -298,17 +306,52 @@ class CrawlEngine:
             graph.insert_mirror(F.col("raw_url"), F.col("_mir")).alias("raw_url"),
         )
 
+    def _ckpt_partitioned(self, df: DataFrame, key: str = "url") -> DataFrame:
+        """Eager localCheckpoint that KEEPS hash(key) partitioning and
+        per-partition ordering visible to later plans. AQE must be off
+        while the checkpoint is captured: under AQE the physical root is
+        an un-finalized AdaptiveSparkPlanExec whose outputPartitioning
+        reads as Unknown, so the resulting LogicalRDD would force an
+        ENSURE_REQUIREMENTS exchange in every consumer (verified on
+        Spark 4.1; with the toggle the downstream AQE-planned anti-join
+        shows ZERO exchanges on this side). The sort lets the SMJ skip
+        the base-side sort too."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return (
+                df.repartition(self.num_partitions, key)
+                .sortWithinPartitions(key)
+                .localCheckpoint()
+            )
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
+
+    @staticmethod
+    def _union_parts(parts: list[DataFrame]) -> DataFrame:
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
+
     def run(self) -> CrawlResult:
         cfg = self.cfg
         # pages/links are temp-view-backed (window + explode under the
         # hood); persist once so rounds don't re-derive them — the
-        # lakehouse-table analogue at 10^10 scale. pages is persisted
-        # hash-partitioned on the fetch-join key, so each round's fetch
-        # join shuffles ONLY the (much smaller) frontier side — the
-        # co-located-join pattern (bucketed table at lakehouse scale)
+        # lakehouse-table analogue at 10^10 scale. BOTH sides of the
+        # per-round joins are persisted hash-partitioned on their join
+        # key (pages on url for the fetch join, links on src_page_id
+        # for the child expansion), so each round shuffles ONLY the
+        # (much smaller) frontier side — the co-located-join pattern
+        # (bucketed table at lakehouse scale). Cached plans keep their
+        # outputPartitioning under AQE by default
+        # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning).
         if self.fetch_mode == "simulated":
             self.pages = self.pages.repartition(self.num_partitions, "url").persist()
-            self.links = self.links.persist()
+            self.links = self.links.repartition(
+                self.num_partitions, "src_page_id"
+            ).persist()
         logs: list[DataFrame] = []
         payloads: list[DataFrame] = []
         conversions: list[DataFrame] = []
@@ -328,8 +371,18 @@ class CrawlEngine:
             # of history to rebuild membership state
             man = self.store.manifest()
             rnd = man["meta"]["round"] + 1
-            frontier = self.store.read(self.spark, "frontier").localCheckpoint()
-            seen = self.store.read(self.spark, "seen").localCheckpoint()
+            frontier = self.store.read(self.spark, "frontier")
+            if "js_strategy" not in frontier.columns:
+                # checkpoint written before the js_strategy column
+                # existed — migrate with the reference default
+                frontier = frontier.withColumn("js_strategy", F.lit("speed"))
+            frontier = frontier.localCheckpoint()
+            # seen set = BASE + DELTAS: the base is kept hash(url)-
+            # partitioned + sorted through its checkpoint, so each
+            # round's anti-join moves no base rows (filter_unseen_parts)
+            seen_parts = [
+                self._ckpt_partitioned(self.store.read(self.spark, "seen"))
+            ]
             logs = [self.store.read(self.spark, "fetch_log").localCheckpoint()]
             n_seen = man["meta"].get("n_seen_hint", 1024)
             blobs_present = set(man.get("blobs", []))
@@ -350,7 +403,9 @@ class CrawlEngine:
             frontier = seen_ops.with_hashes(
                 init_frontier(self.spark, self.seeds)
             ).localCheckpoint()
-            seen = frontier.select("url", "h1", "h2").localCheckpoint()
+            seen_parts = [
+                self._ckpt_partitioned(frontier.select("url", "h1", "h2"))
+            ]
             n_seen = 0
         if self.use_cuckoo and self.cuckoo is None:
             self.cuckoo = ShardedCuckooFilter(
@@ -358,7 +413,8 @@ class CrawlEngine:
             )
             if rnd == 0:
                 seen_ops.cuckoo_update_df(
-                    self.cuckoo, seen.select("h1", F.lit("i").alias("op"))
+                    self.cuckoo,
+                    seen_parts[0].select("h1", F.lit("i").alias("op")),
                 )
         # one count per round doubles as the loop-exit test AND the seen-
         # cardinality input for bloom sizing — no extra driver actions
@@ -386,7 +442,8 @@ class CrawlEngine:
 
             keep = list(
                 dict.fromkeys(
-                    LOG_COLS[1:] + ["page_status", "priority", "h1", "h2"]
+                    LOG_COLS[1:]
+                    + ["page_status", "priority", "js_strategy", "h1", "h2"]
                     + (CONVERT_FEATURES if self.with_convert else [])
                 )
             )
@@ -395,7 +452,10 @@ class CrawlEngine:
                     admitted, cfg,
                     transport_factory=self.transport_factory,
                     num_partitions=self.num_partitions,
-                    passthrough=["priority", "mode", "h1", "h2", "sched_slot_ms"],
+                    passthrough=[
+                        "priority", "mode", "js_strategy", "h1", "h2",
+                        "sched_slot_ms",
+                    ],
                 )
                 # partition_id comes from the salted live stage itself
                 # (north-rule lineage: which partition did the fetching)
@@ -493,6 +553,7 @@ class CrawlEngine:
                 fetched.filter(F.col("outcome") == "retry")
                 .select(
                     "url", "host", "depth", "lineage", "priority", "mode",
+                    "js_strategy",
                     (F.col("attempt") + 1).alias("attempt"),
                     F.lit(rnd + 1).alias("round_added"),
                     "h1", "h2",
@@ -512,7 +573,7 @@ class CrawlEngine:
                 children = links_from_payloads(
                     fetched.filter(parent_filter).select(
                         "url", "final_url", "payload", "depth", "lineage",
-                        "priority", "mode",
+                        "priority", "mode", "js_strategy",
                     ),
                     rnd + 1,
                 )
@@ -523,6 +584,7 @@ class CrawlEngine:
                     F.col("lineage").alias("p_lineage"),
                     F.col("priority").alias("p_priority"),
                     F.col("mode").alias("p_mode"),
+                    F.col("js_strategy").alias("p_js_strategy"),
                 )
                 children = (
                     self._children_links(parents)
@@ -533,6 +595,7 @@ class CrawlEngine:
                         F.concat(F.col("p_lineage"), F.lit("."), _pad2(F.col("doc_pos"))).alias("lineage"),
                         F.col("p_priority").alias("priority"),
                         F.col("p_mode").alias("mode"),
+                        F.col("p_js_strategy").alias("js_strategy"),
                         F.lit(0).alias("attempt"),
                         F.lit(rnd + 1).alias("round_added"),
                     )
@@ -548,18 +611,24 @@ class CrawlEngine:
                     bloom, resume_filter = resume_filter, None
                 elif self.seen_shards > 0:
                     bloom = seen_ops.SeenSet.build(
-                        seen, n_items=max(n_seen, 1024) * 2,
+                        self._union_parts(seen_parts),
+                        n_items=max(n_seen, 1024) * 2,
                         n_shards=self.seen_shards,
                     )
                 else:
-                    bloom = seen_ops.build_bloom(seen, n_items=max(n_seen, 1024) * 2)
+                    bloom = seen_ops.build_bloom(
+                        self._union_parts(seen_parts),
+                        n_items=max(n_seen, 1024) * 2,
+                    )
             # lazy checkpoints truncate lineage without extra jobs: the
             # single frontier count below materializes unseen AND the
             # new frontier in one job; seen then reuses the stored
-            # unseen partitions
-            unseen = seen_ops.filter_unseen(children, seen, bloom).localCheckpoint(
-                eager=False
-            )
+            # unseen partitions. The anti-join runs against the
+            # partitioned base + per-round deltas — no O(total seen)
+            # shuffle per round (see filter_unseen_parts)
+            unseen = seen_ops.filter_unseen_parts(
+                children, seen_parts, bloom
+            ).localCheckpoint(eager=False)
 
             frontier = (
                 deferred.select(*FRONTIER_COLS, "h1", "h2")
@@ -567,12 +636,16 @@ class CrawlEngine:
                 .unionByName(unseen.select(*FRONTIER_COLS, "h1", "h2"))
                 .localCheckpoint(eager=False)
             )
-            seen = seen.unionByName(unseen.select("url", "h1", "h2"))
+            seen_parts.append(unseen.select("url", "h1", "h2"))
             if (rnd + 1) % self.seen_compact_every == 0:
-                # periodic compaction bounds the union fan-in of the
-                # seen relation (at 10^10 scale this is the lakehouse
-                # seen-table MERGE; locally a checkpoint rewrite)
-                seen = seen.localCheckpoint()
+                # periodic compaction folds the deltas back into ONE
+                # partitioned+sorted base (at 10^10 scale this is the
+                # lakehouse seen-table MERGE; locally a checkpoint
+                # rewrite) — bounds the anti-join chain depth at
+                # seen_compact_every + 1
+                seen_parts = [
+                    self._ckpt_partitioned(self._union_parts(seen_parts))
+                ]
             n_frontier = frontier.count()
 
             committing = (
@@ -616,7 +689,9 @@ class CrawlEngine:
                 if self.use_cuckoo:
                     blobs["seen_cuckoo"] = self.cuckoo.to_bytes()
                 self.store.commit(
-                    {"frontier": frontier, "seen": seen, "fetch_log": cum_log},
+                    {"frontier": frontier,
+                     "seen": self._union_parts(seen_parts),
+                     "fetch_log": cum_log},
                     meta={"round": rnd, "n_frontier": n_frontier,
                           "n_seen_hint": n_seen + n_frontier},
                     blobs=blobs,
@@ -688,7 +763,7 @@ class CrawlEngine:
 
         return CrawlResult(
             fetch_log=full_log,
-            seen=seen.select("url"),
+            seen=self._union_parts(seen_parts).select("url"),
             metrics=metrics,
             payloads=payload_df,
             rounds=rnd,

@@ -359,7 +359,9 @@ def q_fetch_timeout(spark, sf_dir):
     504 translation main.py:393-405): with timeout_ms=100 the modeled
     JS latencies exceed the cap — those requests re-enter the retry
     loop; cheap strategies still fetch. Runs the REAL fetch stage
-    (simulated_fetch) over all three modes."""
+    (simulated_fetch) over all three modes x both js_strategy pools
+    (speed/accuracy, reference js_fetcher.py:201-202) — the accuracy
+    surcharge shows up in elapsed_ms and can flip the timeout outcome."""
     from volltextextraktion_selenium_md_spark.plans.fetch import simulated_fetch
 
     _g(spark, sf_dir)
@@ -368,12 +370,12 @@ def q_fetch_timeout(spark, sf_dir):
     frontier = cases.join(
         graph.pages(spark).select("page_id", "url"), on="page_id"
     ).select(
-        "url", "mode",
+        "url", "mode", "js_strategy",
         F.lit(0).alias("attempt"),
         F.lit(0).alias("sched_slot_ms"),
     )
     out = simulated_fetch(frontier, graph.pages(spark), cfg)
-    return out.select("page_id", "mode", "outcome", "elapsed_ms")
+    return out.select("page_id", "mode", "js_strategy", "outcome", "elapsed_ms")
 
 
 def q_time_budget(spark, sf_dir):
@@ -530,18 +532,35 @@ def q_error_page_html(spark, sf_dir):
     )
 
 
+# per-request convert overrides minted per page (shared with the
+# oracle SQL): media policy cycles all four reference policies;
+# html_converter forces a tier on ~3/7 of pages, NULL = auto chain
+MEDIA_POLICY_CASE = (
+    "CASE page_id % 4 WHEN 0 THEN 'skip' WHEN 1 THEN 'none' "
+    "WHEN 2 THEN 'metadata' ELSE 'full' END"
+)
+HTML_CONVERTER_CASE = (
+    "CASE page_id % 7 WHEN 3 THEN 'main' WHEN 5 THEN 'full' "
+    "WHEN 6 THEN 'strip' END"
+)
+
+
 def q_converter_route(spark, sf_dir):
     """C1 conversion-chain routing (app/converter.py:117-342): run the
     REAL convert stage (payload mint + decode + 3-tier extract inside
-    mapInPandas) over every page and emit which converter tier produced
-    the markdown; the oracle re-derives the tier from the deterministic
-    payload rules in pure SQL."""
+    mapInPandas) over every page — including the in-chain audio/video
+    media branch (C6) and per-request html_converter forced tiers —
+    and emit which converter tier produced the markdown; the oracle
+    re-derives the tier from the deterministic payload rules in pure
+    SQL."""
     from volltextextraktion_selenium_md_spark.plans.convert import convert_stage
 
     _g(spark, sf_dir)
     rows = graph.pages(spark).select(
         "url", "page_id", "content_type", "text_len", "has_main",
         "spa_mark", "js_required", "consent", "bot_wall", "rss_link",
+    ).withColumn("media_policy", F.expr(MEDIA_POLICY_CASE)).withColumn(
+        "html_converter", F.expr(HTML_CONVERTER_CASE)
     )
     out = convert_stage(rows, CrawlConfig())
     return out.select("page_id", "converter_used")
@@ -719,9 +738,17 @@ _ENGINE_CACHE: dict = {}
 
 
 def _crawl_result(spark, sf_dir, with_convert=False):
-    key = (id(spark), sf_dir, with_convert)
+    # keyed by applicationId, not id(spark) (round-3 ADVICE): id() can
+    # be reused after a stopped session is garbage-collected, serving
+    # DataFrames bound to a dead context. applicationId is unique per
+    # SparkContext; entries for previous sessions are evicted so stale
+    # localCheckpoint blocks don't pin for the process lifetime.
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, with_convert)
     res = _ENGINE_CACHE.get(key)
     if res is None:
+        for k in [k for k in _ENGINE_CACHE if k[0] != app_id]:
+            del _ENGINE_CACHE[k]
         res = CrawlEngine(spark, sf_dir, with_convert=with_convert).run()
         _ENGINE_CACHE[key] = res
     return res
@@ -863,7 +890,8 @@ SELECT
   CASE page_id % 3
     WHEN 0 THEN 'fast'
     WHEN 1 THEN 'js'
-    ELSE 'auto' END AS mode
+    ELSE 'auto' END AS mode,
+  CASE WHEN page_id % 4 = 1 THEN 'accuracy' ELSE 'speed' END AS js_strategy
 FROM g_pages
 """
 

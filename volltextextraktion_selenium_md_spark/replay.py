@@ -59,7 +59,8 @@ def _load_graph(sf_dir: str) -> tuple[dict, dict, list, dict]:
     ).fetchall():
         links.setdefault(pid, []).append((doc_pos, raw_url, dst_host))
     seeds = con.execute(
-        "SELECT seed_idx, priority, raw_url, mode FROM g_seeds ORDER BY seed_idx"
+        "SELECT seed_idx, priority, raw_url, mode, js_strategy "
+        "FROM g_seeds ORDER BY seed_idx"
     ).fetchall()
     robots = {
         r[0]: {"disallow_prefix": r[1], "crawl_delay_ms": r[2]}
@@ -106,16 +107,22 @@ def _strategy(page: dict, cfg: CrawlConfig) -> str:
     return "HTTP_THEN_JS"
 
 
-def _request_cost_ms(mode: str, page: dict, cfg: CrawlConfig) -> int:
+def _request_cost_ms(
+    mode: str, page: dict, cfg: CrawlConfig, js_strategy: str = "speed"
+) -> int:
     """Modeled request latency (twin of plans/fetch.py's cost column:
-    strategy midpoints, second-chance JS surcharge, mode overrides)."""
+    strategy midpoints, second-chance JS surcharge, mode overrides,
+    js_strategy accuracy-pool surcharge on any Selenium render)."""
+    extra = cfg.js_accuracy_extra_ms if js_strategy == "accuracy" else 0
     if mode == "fast":
         return cfg.cost_ms["HTTP_ONLY"]
     if mode == "js":
-        return cfg.cost_ms["JS_LIGHT"]
+        return cfg.cost_ms["JS_LIGHT"] + extra
     s = _strategy(page, cfg)
     if s == "HTTP_THEN_JS" and page["text_len"] < cfg.second_chance_text_len:
-        return cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"]
+        return cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"] + extra
+    if s in ("JS_LIGHT", "JS_LIGHT_CONSENT"):
+        return cfg.cost_ms[s] + extra
     return cfg.cost_ms[s]
 
 
@@ -126,7 +133,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
     # round 0 init: canonicalize seeds, first-seen dedup in seed order
     frontier: list[dict] = []
     seen: set[str] = set()
-    for seed_idx, priority, raw_url, mode in seeds:
+    for seed_idx, priority, raw_url, mode, js_strategy in seeds:
         url = canonicalize_one(raw_url)
         if url in seen:
             continue
@@ -138,6 +145,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
             "lineage": f"{seed_idx:06d}",
             "priority": priority,
             "mode": mode,
+            "js_strategy": js_strategy,
             "attempt": 0,
         })
 
@@ -165,8 +173,14 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
 
             if cfg.round_time_budget_ms is not None:
                 # round time budget: slot = admitted-position * delay;
-                # slots at/past the budget miss the round's crawl window
-                delay = (rule or {}).get("crawl_delay_ms") or cfg.default_crawl_delay_ms
+                # slots at/past the budget miss the round's crawl window.
+                # coalesce semantics (round-3 ADVICE): only a NULL rule
+                # delay falls back to the default — a legitimate
+                # crawl_delay_ms == 0 must stay 0, matching the engine
+                # (schedule_slots) and the DuckDB oracle
+                delay = (rule or {}).get("crawl_delay_ms")
+                if delay is None:
+                    delay = cfg.default_crawl_delay_ms
                 slot = (host_counts[row["host"]] - 1) * delay
                 if slot >= cfg.round_time_budget_ms:
                     next_frontier.append(row)  # deferred, unchanged
@@ -176,7 +190,10 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
             if page is None:
                 outcome = "missing"
             else:
-                timed_out = _request_cost_ms(row["mode"], page, cfg) > cfg.timeout_ms
+                timed_out = (
+                    _request_cost_ms(row["mode"], page, cfg, row["js_strategy"])
+                    > cfg.timeout_ms
+                )
                 if page["status"] in cfg.retryable_statuses or timed_out:
                     outcome = "retry" if row["attempt"] < cfg.retries else "failed"
                 elif page["status"] >= 400:
@@ -190,6 +207,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                 "depth": row["depth"],
                 "lineage": row["lineage"],
                 "mode": row["mode"],
+                "js_strategy": row["js_strategy"],
                 "attempt": row["attempt"],
                 "outcome": outcome,
             })
@@ -211,6 +229,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                         "mode": row["mode"],  # children re-POST with the
                         # parent request's settings (reference dispatch
                         # is per-request, schemas.py:85-104)
+                        "js_strategy": row["js_strategy"],
                         "attempt": 0,
                     })
 
