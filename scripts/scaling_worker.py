@@ -50,7 +50,11 @@ def job_engine(spark, sf_dir, cores, mirrors, scale):
         with_convert=os.environ.get("SPARK_GRAFT_CONVERT", "1") == "1",
         collect_round_counts=False, num_partitions=max(cores, 8),
         mirrors=mirrors, emit_markdown=False,
-        eager_fetch_checkpoint=os.environ.get("SPARK_GRAFT_EAGER", "0") == "1",
+        eager_fetch_checkpoint=(
+            None if "SPARK_GRAFT_EAGER" not in os.environ
+            else os.environ["SPARK_GRAFT_EAGER"] == "1"
+        ),
+        overlap_convert=os.environ.get("SPARK_GRAFT_OVERLAP", "1") == "1",
     )
     res = eng.run()
     n = res.fetch_log.filter(F.col("outcome") != "blocked").count()

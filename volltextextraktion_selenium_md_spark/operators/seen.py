@@ -357,10 +357,18 @@ def filter_unseen_parts(
         definitely_new, maybe_seen = bloom.partitioned_prefilter(candidates)
     else:
         definitely_new, maybe_seen = bloom_prefilter(candidates, bloom)
-    for part in seen_parts:
-        maybe_seen = maybe_seen.join(
-            part.select("url"), on="url", how="left_anti"
-        )
+    # exactly TWO joins regardless of delta count: base (exchange-free,
+    # pre-sorted) + one union of the small deltas (one broadcast build,
+    # not one per delta — the chain form paid a growing number of
+    # per-round broadcast jobs)
+    maybe_seen = maybe_seen.join(
+        seen_parts[0].select("url"), on="url", how="left_anti"
+    )
+    if len(seen_parts) > 1:
+        deltas = seen_parts[1].select("url")
+        for part in seen_parts[2:]:
+            deltas = deltas.unionByName(part.select("url"))
+        maybe_seen = maybe_seen.join(deltas, on="url", how="left_anti")
     if definitely_new is None:
         return maybe_seen
     return definitely_new.unionByName(maybe_seen)

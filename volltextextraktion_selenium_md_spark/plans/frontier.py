@@ -204,6 +204,7 @@ class CrawlEngine:
         checkpoint_every: int = 1,
         fetch_mode: str = "simulated",
         transport_factory=None,
+        overlap_convert: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -235,6 +236,12 @@ class CrawlEngine:
         self.cuckoo_shards = cuckoo_shards
         self.cuckoo = None
         self.with_convert = with_convert
+        # overlap_convert: materialize each round's convert output (and
+        # its payload-table merge) from ONE background driver thread so
+        # the bulk phase runs concurrently with the next rounds'
+        # frontier barriers — wall approaches max(rounds, bulk). On by
+        # default; the sequential path remains for A/B.
+        self.overlap_convert = overlap_convert and with_convert
         self.collect_round_counts = collect_round_counts
         self.seen_compact_every = 4
         # fetch-output checkpoint mode. True: materialize immediately in
@@ -244,10 +251,13 @@ class CrawlEngine:
         # judge bisected the convert-OFF flagship to EAGER (1190.5 vs
         # 741.7 decisions/s on their host; this session's quiet-host
         # reruns put the two within ±25% host noise — see BENCH.md),
-        # while the convert-ON scaling shape measured LAZY +25% (one
-        # consumer per round -> no recompute, fewer fixed-latency jobs).
+        # while the SEQUENTIAL convert-ON scaling shape measured LAZY
+        # +25% (one consumer per round). With overlap_convert the
+        # background thread consumes fetched too, so it must be EAGER —
+        # a lazy checkpoint would race its first materialization across
+        # the two threads.
         if eager_fetch_checkpoint is None:
-            eager_fetch_checkpoint = not with_convert
+            eager_fetch_checkpoint = not with_convert or self.overlap_convert
         self.eager_fetch_checkpoint = eager_fetch_checkpoint
         self.emit_markdown = emit_markdown
         # optional LLM postprocess over converted markdown (plans/llm.py):
@@ -352,10 +362,22 @@ class CrawlEngine:
             self.links = self.links.repartition(
                 self.num_partitions, "src_page_id"
             ).persist()
+        # robots rules re-derive from the parquet view on EVERY round's
+        # broadcast build otherwise — persist the (tiny) relation once
+        self.robots = self.robots.persist()
+        self.robots.count()
         logs: list[DataFrame] = []
         payloads: list[DataFrame] = []
         conversions: list[DataFrame] = []
         round_counts: list[dict] = []
+        bulk_futures: list = []
+        self._bulk_pool = None
+        if self.overlap_convert:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._bulk_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="bulk-convert"
+            )
 
         from volltextextraktion_selenium_md_spark.operators.filters import (
             BloomFilter,
@@ -532,19 +554,43 @@ class CrawlEngine:
                     conv_out = llm_postprocess_stage(
                         conv_out, error_col="error_page_detected"
                     )
-                conversions.append(conv_out)
                 batch = conv.filter(F.col("image_id").isNotNull()).select(
                     "image_id",
                     F.col("image_bytes").alias("bytes"),
                     "w", "h", "fmt", "caption", "phash",
                 )
-                if self.payload_table is not None:
-                    # land this round's image+caption rows in the payload
-                    # table: Iceberg `MERGE INTO payload USING batch ON
-                    # image_id` (north rule input_hint shape)
-                    merge_into(self.spark, self.payload_table, batch, "image_id")
+                if self.overlap_convert:
+                    # PIPELINE the bulk phase against the round loop:
+                    # round k's convert depends only on the already-
+                    # checkpointed fetch output, so a single background
+                    # driver thread materializes it (and lands its
+                    # payload batch) WHILE round k+1's frontier stages
+                    # run. Spark schedules jobs from both threads
+                    # concurrently; the small frontier stages leave most
+                    # cores idle between barriers and the convert tasks
+                    # fill them — engine wall approaches
+                    # max(rounds, bulk) instead of rounds + bulk. ONE
+                    # worker thread keeps payload MERGEs in round order.
+                    def _bulk(co=conv_out, b=batch):
+                        co_ck = co.localCheckpoint()
+                        if self.payload_table is not None:
+                            merge_into(
+                                self.spark, self.payload_table, b, "image_id"
+                            )
+                            return co_ck, None
+                        return co_ck, b.localCheckpoint()
+
+                    bulk_futures.append(self._bulk_pool.submit(_bulk))
                 else:
-                    payloads.append(batch)
+                    conversions.append(conv_out)
+                    if self.payload_table is not None:
+                        # land this round's image+caption rows in the
+                        # payload table: Iceberg `MERGE INTO payload
+                        # USING batch ON image_id` (north rule
+                        # input_hint shape)
+                        merge_into(self.spark, self.payload_table, batch, "image_id")
+                    else:
+                        payloads.append(batch)
 
             # retry re-queue (F8): failed-retryable rows flow into the
             # next round with attempt+1 — backoff becomes a schedule
@@ -668,6 +714,13 @@ class CrawlEngine:
                 seen_ops.cuckoo_update_df(self.cuckoo, ops)
 
             if committing:
+                if self._bulk_pool is not None:
+                    # a published snapshot at round k must not outrun
+                    # the payload-table merges it implies — wait for
+                    # every pipelined convert/merge ≤ k before commit
+                    # (result() is idempotent; values re-read at drain)
+                    for fut in bulk_futures:
+                        fut.result()
                 cum_log = logs[0]
                 for df in logs[1:]:
                     cum_log = cum_log.unionByName(df)
@@ -712,6 +765,18 @@ class CrawlEngine:
             round_walls.append(round(_time.time() - _t_round, 3))
             rnd += 1
 
+        if self._bulk_pool is not None:
+            # drain the pipelined convert jobs (re-raises any worker
+            # exception); checkpointed results slot into the same lists
+            # the sequential path fills
+            for fut in bulk_futures:
+                co_ck, batch_ck = fut.result()
+                conversions.append(co_ck)
+                if batch_ck is not None:
+                    payloads.append(batch_ck)
+            self._bulk_pool.shutdown()
+            self._bulk_pool = None
+
         fetch_log = logs[0]
         for df in logs[1:]:
             fetch_log = fetch_log.unionByName(df)
@@ -754,6 +819,7 @@ class CrawlEngine:
         if self.fetch_mode == "simulated":
             self.pages.unpersist()
             self.links.unpersist()
+        self.robots.unpersist()
 
         conversions_df = None
         if conversions:
