@@ -73,6 +73,29 @@ def test_postprocess_never_fails_on_adversarial_markdown():
                 "Bildungsinhalt", "Metabeschreibung", "Fehler/Infoseite")
 
 
+def test_llm_prompt_override():
+    """Per-request llm_clean_prompt (reference schemas.py:194-226): a
+    custom template steers the transport's transformation — its leading
+    token replaces the default CLEANED marker; NULL/blank keeps the
+    default; the salvage pipeline is unchanged."""
+    from volltextextraktion_selenium_md_spark.plans.llm import prompt_tag
+
+    assert prompt_tag(None) == "CLEANED"
+    assert prompt_tag("   ") == "CLEANED"
+    assert prompt_tag("SUMMARIZE the following") == "SUMMARIZE"
+    out = postprocess_one("body text", 0, False, False,
+                          prompt="SUMMARIZE the following")
+    assert out["cleaned_markdown"] == "SUMMARIZE body text"
+    out = postprocess_one("body text", 3, False, False, prompt="TRANSLATE x")
+    assert out["cleaned_markdown"] == (
+        "Here is the cleaned text:\nTRANSLATE body text"
+    )
+    out = postprocess_one("body text", 4, False, False, prompt="TRANSLATE x")
+    assert out["cleaned_markdown"] == "body text"  # empty response: default
+    out = postprocess_one("body text", 1, False, False)
+    assert out["cleaned_markdown"] == "CLEANED body text"
+
+
 def test_llm_postprocess_oracle_small(spark):
     """Spark stage == DuckDB oracle at sf0.001 (the gate re-runs at
     sf0.01)."""

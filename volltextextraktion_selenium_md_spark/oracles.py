@@ -617,20 +617,22 @@ FROM g_pages
 
 def sql_llm_postprocess() -> str:
     """Salvage outcomes per response shape (plans/llm.py transport):
-    cases 0-2 parse to the minted JSON (cleaned = 'CLEANED '+md,
+    cases 0-2 parse to the minted JSON (cleaned = '<tag> '+md where tag
+    is the llm_clean_prompt override's leading token, default CLEANED;
     classification by the deterministic cascade, anonymized = request
     flag); case 3 is non-JSON -> raw text kept as cleaned, defaults for
     the rest; case 4 is empty -> everything defaults, no token usage."""
     from volltextextraktion_selenium_md_spark.plans.llm import CONTENT_MIN_CHARS
 
+    tag = "CASE WHEN llm_prompt IS NOT NULL THEN split_part(trim(llm_prompt), ' ', 1) ELSE 'CLEANED' END"
     return (
         _with({"llm_cases": Q.LLM_CASES_BODY})
         + f"""
 SELECT page_id,
   CASE page_id % 5
-    WHEN 3 THEN 'Here is the cleaned text:' || chr(10) || 'CLEANED ' || markdown
+    WHEN 3 THEN 'Here is the cleaned text:' || chr(10) || ({tag}) || ' ' || markdown
     WHEN 4 THEN markdown
-    ELSE 'CLEANED ' || markdown
+    ELSE ({tag}) || ' ' || markdown
   END AS cleaned_markdown,
   CASE WHEN page_id % 5 IN (3, 4) THEN 'Metabeschreibung'
        WHEN status >= 400 THEN 'Fehler/Infoseite'

@@ -536,29 +536,34 @@ class CrawlEngine:
                     error_page_detected,
                 )
 
-                # the reference flags error pages on the CONVERTED
-                # markdown of every response (main.py:433), not only on
-                # the LLM path — CrawlResponse.error_page_detected
-                conv_out = conv.select(
-                    "url", "page_id", "markdown", "markdown_length",
-                    "converter_used", "truncated",
-                ).withColumn(
-                    "error_page_detected",
-                    error_page_detected(F.col("markdown"), F.lit(None).cast("int")),
-                )
-                if self.with_llm:
-                    from volltextextraktion_selenium_md_spark.plans.llm import (
-                        llm_postprocess_stage,
+                def _derive(conv_df):
+                    # the reference flags error pages on the CONVERTED
+                    # markdown of every response (main.py:433), not only
+                    # on the LLM path — CrawlResponse.error_page_detected
+                    co = conv_df.select(
+                        "url", "page_id", "markdown", "markdown_length",
+                        "converter_used", "truncated",
+                    ).withColumn(
+                        "error_page_detected",
+                        error_page_detected(
+                            F.col("markdown"), F.lit(None).cast("int")
+                        ),
                     )
+                    if self.with_llm:
+                        from volltextextraktion_selenium_md_spark.plans.llm import (
+                            llm_postprocess_stage,
+                        )
 
-                    conv_out = llm_postprocess_stage(
-                        conv_out, error_col="error_page_detected"
+                        co = llm_postprocess_stage(
+                            co, error_col="error_page_detected"
+                        )
+                    b = conv_df.filter(F.col("image_id").isNotNull()).select(
+                        "image_id",
+                        F.col("image_bytes").alias("bytes"),
+                        "w", "h", "fmt", "caption", "phash",
                     )
-                batch = conv.filter(F.col("image_id").isNotNull()).select(
-                    "image_id",
-                    F.col("image_bytes").alias("bytes"),
-                    "w", "h", "fmt", "caption", "phash",
-                )
+                    return co, b
+
                 if self.overlap_convert:
                     # PIPELINE the bulk phase against the round loop:
                     # round k's convert depends only on the already-
@@ -569,19 +574,24 @@ class CrawlEngine:
                     # concurrently; the small frontier stages leave most
                     # cores idle between barriers and the convert tasks
                     # fill them — engine wall approaches
-                    # max(rounds, bulk) instead of rounds + bulk. ONE
-                    # worker thread keeps payload MERGEs in round order.
-                    def _bulk(co=conv_out, b=batch):
-                        co_ck = co.localCheckpoint()
+                    # max(rounds, bulk) instead of rounds + bulk. The
+                    # convert mapInPandas is checkpointed ONCE and both
+                    # consumers (markdown output, payload batch) derive
+                    # from the stored partitions. ONE worker thread
+                    # keeps payload MERGEs in round order.
+                    def _bulk(c=conv):
+                        conv_ck = c.localCheckpoint()
+                        co, b = _derive(conv_ck)
                         if self.payload_table is not None:
                             merge_into(
                                 self.spark, self.payload_table, b, "image_id"
                             )
-                            return co_ck, None
-                        return co_ck, b.localCheckpoint()
+                            return co, None
+                        return co, b
 
                     bulk_futures.append(self._bulk_pool.submit(_bulk))
                 else:
+                    conv_out, batch = _derive(conv)
                     conversions.append(conv_out)
                     if self.payload_table is not None:
                         # land this round's image+caption rows in the

@@ -133,17 +133,33 @@ def classify_markdown(markdown: str, error_page: bool) -> str:
     return CLS_META
 
 
+DEFAULT_PROMPT_TAG = "CLEANED"
+
+
+def prompt_tag(prompt: str | None) -> str:
+    """The per-request ``llm_clean_prompt`` override (reference
+    ``app/schemas.py:194-226``: a custom template replaces the default
+    cleaning instruction) is modeled by its observable effect — the
+    prompt's leading token becomes the transformation marker the
+    deterministic transport applies, so a custom prompt produces a
+    different (oracle-checkable) cleaned output, exactly as a different
+    instruction would steer a real model."""
+    if not isinstance(prompt, str) or not prompt.strip():
+        return DEFAULT_PROMPT_TAG
+    return prompt.strip().split()[0]
+
+
 def mint_llm_response(markdown: str, page_id: int, error_page: bool,
-                      anonymize: bool) -> str:
+                      anonymize: bool, tag: str = DEFAULT_PROMPT_TAG) -> str:
     """Deterministic fake transport: one of five response shapes the
     salvage parser must handle, keyed on page_id."""
     case = page_id % 5
     if case == 3:
-        return "Here is the cleaned text:\nCLEANED " + markdown
+        return f"Here is the cleaned text:\n{tag} " + markdown
     if case == 4:
         return ""
     payload = json.dumps({
-        "cleaned_markdown": "CLEANED " + markdown,
+        "cleaned_markdown": f"{tag} " + markdown,
         "classification": classify_markdown(markdown, error_page),
         "anonymized": anonymize,
     })
@@ -155,11 +171,13 @@ def mint_llm_response(markdown: str, page_id: int, error_page: bool,
 
 
 def postprocess_one(markdown: str, page_id: int, error_page: bool,
-                    anonymize: bool) -> dict:
+                    anonymize: bool, prompt: str | None = None) -> dict:
     """One row through transport + salvage. NEVER raises
     (main.py:461-464: LLM errors must not escalate)."""
     try:
-        content = mint_llm_response(markdown, page_id, error_page, anonymize)
+        content = mint_llm_response(
+            markdown, page_id, error_page, anonymize, prompt_tag(prompt)
+        )
         cleaned, classification, anonymized = salvage(markdown, content, anonymize)
         tokens = len(markdown) // 4 if content else None
         return {
@@ -192,9 +210,15 @@ def llm_postprocess_stage(
     page_id_col: str = "page_id",
     error_col: str | None = None,
     anonymize_col: str | None = None,
+    prompt_col: str | None = None,
 ) -> DataFrame:
     """Arrow-batched postprocess pass: appends the LLMResult struct
-    column ``llm`` (CrawlResponse.llm shape, schemas.py:248-257)."""
+    column ``llm`` (CrawlResponse.llm shape, schemas.py:248-257).
+    ``prompt_col`` carries the per-request llm_clean_prompt override
+    (NULL rows use the default template); when omitted and the input
+    HAS an ``llm_prompt`` column, that column is used."""
+    if prompt_col is None and "llm_prompt" in df.columns:
+        prompt_col = "llm_prompt"
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("llm", LLM_RESULT_TYPE, True)]
     )
@@ -203,11 +227,12 @@ def llm_postprocess_stage(
         for pdf in batches:
             errors = pdf[error_col] if error_col else [False] * len(pdf)
             anon = pdf[anonymize_col] if anonymize_col else [False] * len(pdf)
+            prompts = pdf[prompt_col] if prompt_col else [None] * len(pdf)
             pdf = pdf.copy()
             pdf["llm"] = [
-                postprocess_one(md, int(pid), bool(e), bool(a))
-                for md, pid, e, a in zip(
-                    pdf[markdown_col], pdf[page_id_col], errors, anon
+                postprocess_one(md, int(pid), bool(e), bool(a), p)
+                for md, pid, e, a, p in zip(
+                    pdf[markdown_col], pdf[page_id_col], errors, anon, prompts
                 )
             ]
             yield pdf

@@ -880,7 +880,9 @@ SELECT
   page_id,
   status,
   'doc ' || CAST(page_id AS STRING) || repeat(' w', page_id % 400) AS markdown,
-  page_id % 2 = 0 AS anonymize
+  page_id % 2 = 0 AS anonymize,
+  CASE WHEN page_id % 7 = 2
+       THEN 'SUMMARIZE the following page into study notes' END AS llm_prompt
 FROM g_pages
 """
 
