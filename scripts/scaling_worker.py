@@ -105,10 +105,20 @@ def main() -> None:
     job = sys.argv[3] if len(sys.argv) > 3 else "engine"
     mirrors = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     scale = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+    import os
+
+    extra = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";")
+        if "=" in kv
+    )
     spark = get_spark(
         app_name=f"scaling-{job}-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cores, 8)))
+        ),
+        extra_conf=extra,
     )
     # warm-up (JVM/codegen/Arrow init — excluded from the measurement)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
