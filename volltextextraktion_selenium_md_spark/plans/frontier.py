@@ -528,8 +528,14 @@ class CrawlEngine:
 
             if self.with_convert:
                 ok = fetched.filter(F.col("outcome") == "fetched")
+                # explicit convert width: the stage EXPANDS each row by
+                # ~payload_scale KB (mint + markdown), which AQE cannot
+                # see from the upstream shuffle's input bytes — with
+                # sizing-based coalescing the tiny feature rows would
+                # collapse to a handful of partitions and strand cores
                 conv = convert_stage(
-                    ok, cfg, emit_markdown=self.emit_markdown,
+                    ok.repartition(self.num_partitions),
+                    cfg, emit_markdown=self.emit_markdown,
                     payload_col="payload" if self.fetch_mode == "live" else None,
                 )
                 from volltextextraktion_selenium_md_spark.functions.classify import (

@@ -46,6 +46,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles to the advisory SIZE, not to max
+        # parallelism: the iterative frontier loop runs many small
+        # stages whose default split into one-tiny-task-per-core anti-
+        # scales with core count (measured: convert-off engine at
+        # mirrors=64 took 302 s on 32 cores vs 215 s on 8 with the
+        # default; 204 s on 32 with sizing-based coalescing). Large
+        # stages still exceed the advisory size and keep full width —
+        # width adapts to VOLUME, which is exactly the 10^10-row-round
+        # behavior. Stages that EXPAND rows after the shuffle (payload
+        # mint/convert) declare their width explicitly instead.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
