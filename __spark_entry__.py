@@ -87,8 +87,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end engine (rows-only; exactness via golden replay test)
         "crawl_full": Q.q_crawl_full,
         "crawl_then_dedup": Q.q_crawl_then_dedup,
+        # joint (round, partition, outcome) grouping — covers the
+        # outcome AND partition-lineage marginals in one entry so the
+        # list stays at 50 (driver correctness cap) with payload_table
+        # included
         "crawl_metrics": Q.q_crawl_metrics,
-        "crawl_partition_metrics": Q.q_crawl_partition_metrics,
         "payload_table": Q.q_payload_table,
     }
 

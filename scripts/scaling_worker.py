@@ -112,6 +112,15 @@ def main() -> None:
         for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";")
         if "=" in kv
     )
+    if mirrors >= 8:
+        # high-volume shape -> sizing-based AQE coalescing (scoped here,
+        # not a session default; round-4 verdict #2). SPARK_GRAFT_CONF
+        # still wins for A/B sweeps.
+        from volltextextraktion_selenium_md_spark.session import (
+            SIZING_COALESCE_CONF,
+        )
+
+        extra = {**SIZING_COALESCE_CONF, **extra}
     spark = get_spark(
         app_name=f"scaling-{job}-{cores}",
         master=f"local[{cores}]",

@@ -104,3 +104,137 @@ def test_breaker_trips_through_convert_stage(spark):
     assert all(poisoned[p] == "full" for p in range(1, 7))
     # breaker opened after 5 failures: good pages no longer reach tier 1
     assert all(poisoned[p] == "full" for p in range(1000, 1010))
+
+
+def test_kmap_attachments_golden():
+    """C3 attachment parity (reference _extract_kmap_markdown,
+    app/converter.py:416-641): headers from subject/chapter/title,
+    inline: refs (attr + bare) rewritten through the attachments map
+    against <base>, tag-based sections in fixed order, Anhänge for
+    untagged attachments unless already linked in the description."""
+    import json
+
+    from volltextextraktion_selenium_md_spark.plans.convert import _kmap_markdown
+
+    topic = {
+        "title": "Kraftbegriff",
+        "chapter": "Mechanik",
+        "subject": "Physik",
+        "description": (
+            "<p>Die Kraft <img src=\"inline:kraft.png\"> wirkt. "
+            "Siehe inline:skizze.png und inline:unknown.png.</p>"
+        ),
+        "attachments": [
+            {"file": "kraft.png", "href": "files/kraft.png",
+             "name": "Kraftdiagramm", "tag": "explanation"},
+            {"file": "skizze.png", "href": "files/skizze.png",
+             "name": "Skizze", "tag": "idea"},
+            {"file": "versuch.mp4", "href": "files/versuch.mp4",
+             "name": "Versuchsvideo", "tag": "usage"},
+            {"file": "linked.pdf", "href": "files/linked.pdf",
+             "name": "Verlinkt", "tag": ""},  # skipped: href in desc? no
+            {"file": "extra.pdf", "href": "files/extra.pdf",
+             "name": "Extra", "tag": "misc"},  # unknown tag -> Anhänge
+        ],
+    }
+    # make the 4th attachment's file appear quoted in the description so
+    # the skip rule fires for it
+    topic["description"] += ' <span data-f="linked.pdf"></span>'
+    html = (
+        "<html><head><title>ignored</title><base href='/app/'></head>"
+        "<body><script id='embedded-topic' type='application/json'>"
+        + json.dumps(topic)
+        + "</script><main>x</main></body></html>"
+    )
+    md = _kmap_markdown(html)
+    assert md is not None
+    # headers: subject as H1, chapter–title as H2 (en dash)
+    assert md.startswith("# Physik\n## Mechanik – Kraftbegriff")
+    # inline attr + bare refs rewritten against <base href='/app/'>
+    assert "inline:kraft.png" not in md.split("**")[0]
+    assert "/app/files/skizze.png" in md
+    # unknown file keeps its inline: marker
+    assert "inline:unknown.png" in md
+    # tagged sections, reference order and titles
+    i_erk = md.index("**Erklärungen**")
+    i_vor = md.index("**Vorstellung**")
+    i_anw = md.index("**Anwendungen**")
+    i_anh = md.index("**Anhänge**")
+    assert i_erk < i_vor < i_anw < i_anh
+    assert "- [Kraftdiagramm](/app/files/kraft.png)" in md
+    assert "- [Skizze](/app/files/skizze.png)" in md
+    assert "- [Versuchsvideo](/app/files/versuch.mp4)" in md
+    # 'linked.pdf' appears quoted in the description -> skipped from
+    # Anhänge; unknown-tag 'extra.pdf' lands there
+    assert "- [Extra](/app/files/extra.pdf)" in md
+    assert "Verlinkt" not in md
+
+
+def test_kmap_no_base_defaults_to_root():
+    import json
+
+    from volltextextraktion_selenium_md_spark.plans.convert import _kmap_markdown
+
+    topic = {
+        "title": "T",
+        "description": "<p>d <img src=\"inline:a.png\"></p>",
+        "attachments": [
+            {"file": "a.png", "href": "files/a.png", "name": "A",
+             "tag": "usage"},
+        ],
+    }
+    html = (
+        "<html><body><script id='embedded-topic' type='json'>"
+        + json.dumps(topic) + "</script></body></html>"
+    )
+    md = _kmap_markdown(html)
+    assert "- [A](/files/a.png)" in md
+
+
+def test_kmap_ldjson_scan_and_salvage():
+    """Universal scan: ld+json mainEntity payloads qualify; the
+    embedded-topic tag tolerates CDATA/comment wrappers via the
+    balanced-object salvage (converter.py:432-446)."""
+    import json
+
+    from volltextextraktion_selenium_md_spark.plans.convert import _kmap_payload
+
+    ld = {"mainEntity": {"articleBody": "body text", "headline": "H"}}
+    html = (
+        "<html><script type='application/ld+json'>" + json.dumps(ld)
+        + "</script></html>"
+    )
+    got = _kmap_payload(html)
+    assert got == ld["mainEntity"]
+
+    wrapped = (
+        "<html><script id='embedded-topic' type='json'>/*<![CDATA[*/ "
+        + json.dumps({"description": "x"}) + " /*]]>*/</script></html>"
+    )
+    assert _kmap_payload(wrapped) == {"description": "x"}
+
+
+def test_kmap_small_fragment_forces_full_tier():
+    """converter.py:199-204: a parsed-but-tiny embedded payload forces
+    the full-DOM tier, overriding a per-request html_converter."""
+    import json
+
+    from volltextextraktion_selenium_md_spark.plans.convert import (
+        _Breaker,
+        convert_bytes,
+    )
+
+    html = (
+        "<html><head><title>t</title></head><body>"
+        "<script id='embedded-topic' type='json'>"
+        + json.dumps({"description": "<p>tiny</p>"})
+        + "</script><main><p>"
+        + ("content " * 30)
+        + "</p></main></body></html>"
+    ).encode()
+    _, conv, _ = convert_bytes(3, "text/html", html, _Breaker(), 1 << 20)
+    assert conv == "full"  # not 'main', despite a qualifying <main>
+    _, conv, _ = convert_bytes(
+        3, "text/html", html, _Breaker(), 1 << 20, forced_converter="strip"
+    )
+    assert conv == "full"  # the tiny-fragment override beats forced

@@ -230,6 +230,21 @@ def test_live_fetch_proxy_and_ssl_reach_transport(spark):
         "proxy=http://proxy.example.com:8080 verify=False"
     )
 
+    # NULL allow_insecure_ssl in a PRESENT column = "use the global
+    # setting" (reference http_fetcher.py:43, README "null nutzt
+    # .env") — must coalesce to cfg.allow_insecure_ssl, not to secure
+    f_null = spark.createDataFrame(
+        [("https://h0.example.com/e", "h0.example.com", 0, "000003", 0,
+          None, None)],
+        "url string, host string, depth int, lineage string, attempt int, "
+        "proxy string, allow_insecure_ssl boolean",
+    )
+    got = live_fetch(
+        f_null, CrawlConfig(allow_insecure_ssl=True),
+        transport_factory=factory, num_partitions=1,
+    ).collect()[0]
+    assert bytes(got["payload"]).decode() == "proxy=None verify=False"
+
 
 def test_live_fetch_salts_hot_host(spark):
     """A Zipf-hot host must spread across partitions before the fetch

@@ -131,13 +131,24 @@ def test_engine_with_llm_struct_column(spark):
     from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
 
     res = CrawlEngine(spark, SF_SMALL, with_convert=True, with_llm=True).run()
-    rows = res.conversions.select("page_id", "markdown", "llm.*").collect()
+    rows = res.conversions.select(
+        "page_id", "markdown", "llm_anonymize", "llm.*"
+    ).collect()
     assert len(rows) > 0
+    anon_vals = set()
     for r in rows:
         assert r["classification"] in (
             "Bildungsinhalt", "Metabeschreibung", "Fehler/Infoseite")
         if r["page_id"] % 5 in (0, 1, 2):
             assert r["cleaned_markdown"] == "CLEANED " + r["markdown"]
+            # per-request llm_anonymize (reference schemas.py:205,
+            # main.py:445-457) rides the frontier -> convert -> LLM
+            # chain: the parse-ok shapes echo the request flag back
+            assert r["anonymized"] == bool(r["llm_anonymize"])
+            anon_vals.add(bool(r["llm_anonymize"]))
         if r["page_id"] % 5 == 4:
             assert r["cleaned_markdown"] == r["markdown"]
             assert r["tokens_used"] is None
+    # the seed graph mints MIXED anonymize requests (seed_idx % 3 = 1),
+    # so this test actually exercises both values
+    assert anon_vals == {True, False}

@@ -134,7 +134,8 @@ SELECT
     WHEN 0 THEN 'fast'
     WHEN 1 THEN 'js'
     ELSE 'auto' END AS mode,
-  CASE WHEN s.seed_idx % 4 = 2 THEN 'accuracy' ELSE 'speed' END AS js_strategy
+  CASE WHEN s.seed_idx % 4 = 2 THEN 'accuracy' ELSE 'speed' END AS js_strategy,
+  s.seed_idx % 3 = 1 AS llm_anonymize
 FROM (
   SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS seed_idx,
          CAST(c_custkey % 3 AS INT) AS priority,
@@ -286,6 +287,7 @@ def mirror_seeds(seeds_df: DataFrame, R: int, id_span: int) -> DataFrame:
         _rewrite_host_str(F.col("host")).alias("host"),
         "mode",
         "js_strategy",
+        "llm_anonymize",
     )
 
 

@@ -606,6 +606,7 @@ SELECT page_id,
          THEN ({forced})
     WHEN content_type LIKE 'application/pdf%' THEN 'full'
     WHEN page_id % 31 = 0 THEN 'kmap'
+    WHEN page_id % 29 = 7 THEN 'full'
     WHEN ({forced}) IS NOT NULL THEN ({forced})
     WHEN has_main AND ({main_len}) >= 80 THEN 'main'
     ELSE 'full'

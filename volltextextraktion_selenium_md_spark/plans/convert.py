@@ -104,6 +104,10 @@ def mint_payload(row: dict, scale: int = 1) -> bytes:
     head = "<head><title>page %d</title>" % pid
     if row.get("rss_link"):
         head += "<link rel='alternate' type='application/rss+xml' href='/feed'>"
+    if pid % 31 == 0 and pid % 62 == 0:
+        # half the KMap pages carry a <base> (reference resolves
+        # inline: refs against it, converter.py:494-503)
+        head += "<base href='/app/'>"
     head += "</head>"
     parts = ["<html>" + head + "<body>"]
     if row.get("bot_wall"):
@@ -115,9 +119,44 @@ def mint_payload(row: dict, scale: int = 1) -> bytes:
     if row.get("consent"):
         parts.append("<div class='consent'>cookie consent: accept</div>")
     if pid % 31 == 0:  # KMap embedded-topic page (C3)
-        topic = {"description": f"Topic {pid} description " + _body_text(pid, 900 * scale)}
+        # attachment-bearing topic payload (reference converter.py:
+        # 416-641): deterministic attachments cycle through the tagged
+        # sections, the description embeds inline: refs (attr + bare)
+        # that the extractor must rewrite through the attachments map,
+        # and one untagged attachment is already linked so the Anhänge
+        # skip rule is exercised
+        n_att = (pid // 31) % 4  # 0..3 attachments
+        tags = ["explanation", "idea", "usage", ""]
+        atts = [
+            {
+                "file": f"a{i}.png",
+                "href": f"files/{pid}_{i}.png",
+                "name": f"Att {pid}-{i}",
+                "tag": tags[(pid // 31 + i) % 4],
+            }
+            for i in range(n_att)
+        ]
+        desc = f"<p>Topic {pid} description " + _body_text(pid, 900 * scale) + "</p>"
+        if n_att >= 1:
+            desc += "<p><img src=\"inline:a0.png\"> see inline:a0.png</p>"
+        topic: dict = {"description": desc}
+        if atts:
+            topic["attachments"] = atts
+        if pid % 3 == 0:
+            topic["subject"] = f"Subject {pid % 7}"
+        if pid % 2 == 0:
+            topic["title"] = f"Topic {pid}"
+            topic["chapter"] = f"Chapter {pid % 5}"
         parts.append(
             f"<script id='embedded-topic' type='application/json'>{json.dumps(topic)}</script>"
+        )
+    elif pid % 29 == 7:
+        # tiny embedded fragment: the universal gate rejects it
+        # (<800 chars) and FORCES the full-DOM tier, overriding any
+        # per-request html_converter (converter.py:199-204)
+        tiny = {"description": f"<p>stub {pid}</p>"}
+        parts.append(
+            f"<script id='embedded-topic' type='application/json'>{json.dumps(tiny)}</script>"
         )
     body = _body_text(pid, int(row["text_len"]) * scale)
     if row.get("has_main"):
@@ -189,6 +228,12 @@ _JS_HINT_RE = re.compile(
 _KMAP_RE = re.compile(
     r"<script[^>]*id=['\"]embedded-topic['\"][^>]*>(.*?)</script>", re.S | re.I
 )
+_SCRIPT_RE = re.compile(r"<script([^>]*)>(.*?)</script>", re.S | re.I)
+_SCRIPT_TYPE_RE = re.compile(r"type=['\"]([^'\"]*)['\"]", re.I)
+_BASE_HREF_RE = re.compile(r"<base\b[^>]*href=['\"]([^'\"]*)['\"]", re.I)
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
+_INLINE_ATTR_RE = re.compile(r"(src|href)=[\"']inline:([^\"']+)[\"']")
+_INLINE_BARE_RE = re.compile(r"inline:([^\s\"'>)]+)")
 
 
 def _preclean(html: str) -> str:
@@ -198,18 +243,192 @@ def _preclean(html: str) -> str:
     return _JS_HINT_RE.sub("", html)
 
 
-def _kmap_probe(html: str) -> str | None:
-    """C3: embedded-topic JSON; result under 800 chars is rejected and
-    the chain falls through (converter.py gate :195-204)."""
-    m = _KMAP_RE.search(html)
-    if not m:
+def _json_salvage(txt: str) -> dict | None:
+    """Direct JSON parse, then the balanced-object salvage the reference
+    applies to CDATA/comment-wrapped embedded-topic payloads
+    (converter.py:432-446)."""
+    txt = txt.strip()
+    if not txt:
         return None
     try:
-        obj = json.loads(m.group(1))
-    except json.JSONDecodeError:
+        obj = json.loads(txt)
+        return obj if isinstance(obj, dict) else None
+    except Exception:
+        start, end = txt.find("{"), txt.rfind("}")
+        if start != -1 and end > start:
+            try:
+                obj = json.loads(txt[start:end + 1])
+                return obj if isinstance(obj, dict) else None
+            except Exception:
+                return None
         return None
-    desc = obj.get("description") or obj.get("articleBody") or ""
-    return desc if len(desc) >= 800 else None
+
+
+def _kmap_payload(html: str) -> dict | None:
+    """C3 payload discovery (converter.py:429-471): the historic
+    <script id='embedded-topic' type=json> tag first (with salvage),
+    else a universal scan of json/ld+json scripts for a dict carrying
+    description/articleBody — directly or under mainEntity/article/
+    item (direct parse only, as the reference does there)."""
+    m = _KMAP_RE.search(html)
+    if m:
+        obj = _json_salvage(m.group(1))
+        if obj is not None:
+            return obj
+    for attrs, body in _SCRIPT_RE.findall(html):
+        tm = _SCRIPT_TYPE_RE.search(attrs)
+        t = (tm.group(1).strip().lower() if tm else "")
+        if t not in ("", "json", "application/json", "application/ld+json"):
+            continue
+        if not body.strip():
+            continue
+        try:
+            obj = json.loads(body.strip())
+        except Exception:
+            continue
+        if isinstance(obj, dict):
+            if any(k in obj for k in ("description", "articleBody")):
+                return obj
+            ent = obj.get("mainEntity") or obj.get("article") or obj.get("item")
+            if isinstance(ent, dict) and any(
+                k in ent for k in ("description", "articleBody")
+            ):
+                return ent
+    return None
+
+
+# attachment tag -> semantic section title (converter.py:594-598)
+_KMAP_TAG_TITLES = {
+    "explanation": "Erklärungen",
+    "idea": "Vorstellung",
+    "usage": "Anwendungen",
+}
+
+
+def _kmap_markdown(html: str) -> str | None:
+    """C3: compose markdown from an embedded JSON topic payload
+    (reference ``_extract_kmap_markdown``, converter.py:416-641):
+    headers from subject/chapter/title, the description HTML converted
+    through the full-text tier (MarkItDown stand-in), ``inline:``
+    references rewritten through the attachments map prefixed with the
+    page's <base> href, and attachments sectionized by tag
+    (explanation/idea/usage -> Erklärungen/Vorstellung/Anwendungen,
+    untagged -> Anhänge unless already linked in the description).
+    Returns the UNGATED markdown; the <800-char gate and its
+    force-full-DOM fall-through live at the convert_bytes call site
+    (converter.py:199-204)."""
+    payload = _kmap_payload(html)
+    if payload is None:
+        return None
+
+    def first_str(d: dict, keys: list[str]) -> str | None:
+        for k in keys:
+            v = d.get(k)
+            if isinstance(v, str) and v.strip():
+                return v
+        return None
+
+    title = first_str(payload, ["title", "headline", "name", "topic"])
+    if title is None:
+        tm = _TITLE_RE.search(html)
+        title = tm.group(1).strip() if tm and tm.group(1).strip() else None
+    chapter = payload.get("chapter")
+    chapter = chapter if isinstance(chapter, str) else None
+    subject = payload.get("subject")
+    subject = subject if isinstance(subject, str) else None
+    desc_html = first_str(payload, ["description", "articleBody"]) or ""
+    attachments = payload.get("attachments")
+    attachments = attachments if isinstance(attachments, list) else []
+
+    att_map: dict[str, str] = {}
+    for att in attachments:
+        if not isinstance(att, dict):
+            continue
+        fname, href = att.get("file") or "", att.get("href") or ""
+        if fname and href:
+            att_map[fname] = href
+
+    bm = _BASE_HREF_RE.search(html)
+    base_href = (bm.group(1).strip() if bm else "") or "/"
+    if not base_href.startswith("http") and not base_href.startswith("/"):
+        base_href = "/" + base_href
+
+    def full_url(target: str) -> str:
+        if target.startswith(("http://", "https://")):
+            return target
+        if base_href.endswith("/") and target.startswith("/"):
+            return base_href[:-1] + target
+        if not base_href.endswith("/") and not target.startswith("/"):
+            return base_href + "/" + target
+        return base_href + target
+
+    def attr_sub(m: re.Match) -> str:
+        target = att_map.get(m.group(2))
+        if not target:
+            return f'{m.group(1)}="inline:{m.group(2)}"'
+        return f'{m.group(1)}="{full_url(target)}"'
+
+    def bare_sub(m: re.Match) -> str:
+        target = att_map.get(m.group(1))
+        return full_url(target) if target else m.group(0)
+
+    desc_html = _INLINE_ATTR_RE.sub(attr_sub, desc_html)
+    desc_html = _INLINE_BARE_RE.sub(bare_sub, desc_html)
+    desc_md = _extract(desc_html, main_only=False).strip()
+
+    header_lines = []
+    if subject:
+        header_lines.append(f"# {subject}")
+    if chapter and title:
+        header_lines.append(f"## {chapter} – {title}")
+    elif title:
+        header_lines.append(f"# {title}")
+
+    parts = []
+    if header_lines:
+        parts.append("\n".join(header_lines))
+    if desc_md:
+        parts.append(desc_md)
+
+    section_items: dict[str, list[str]] = {
+        v: [] for v in _KMAP_TAG_TITLES.values()
+    }
+    generic_items: list[str] = []
+    for att in attachments:
+        if not isinstance(att, dict):
+            continue
+        tag = (att.get("tag") or "").strip().lower()
+        name = att.get("name") or att.get("file") or ""
+        if not name:
+            continue
+        href = att.get("href") or att_map.get(att.get("file") or "", "")
+        full = full_url(href) if href else ""
+        item = f"- [{name}]({full})" if full else f"- {name}"
+        sec = _KMAP_TAG_TITLES.get(tag)
+        if sec:
+            section_items[sec].append(item)
+        else:
+            # untagged attachment already linked from the (rewritten)
+            # description -> skip, else collect under Anhänge
+            fname = (att.get("file") or "").strip()
+            if (href and href in desc_html) or (
+                fname and (
+                    f"inline:{fname}" in desc_html
+                    or f'"{fname}"' in desc_html
+                    or f"'{fname}'" in desc_html
+                )
+            ):
+                continue
+            generic_items.append(item)
+
+    for sec, items in section_items.items():
+        if items:
+            parts.append(f"\n**{sec}**\n\n" + "\n".join(items))
+    if generic_items:
+        parts.append("\n**Anhänge**\n\n" + "\n".join(generic_items))
+
+    final_md = "\n\n".join(p for p in parts if p)
+    return final_md if final_md.strip() else None
 
 
 def _extract(html: str, main_only: bool) -> str:
@@ -302,9 +521,16 @@ def convert_bytes(
             return "\n".join(f"- {t}" for t in titles), "rss", truncated
 
         html = _preclean(payload.decode("utf-8", "replace"))
-        kmap = _kmap_probe(html)
+        kmap = _kmap_markdown(html)
         if kmap is not None:
-            return _polish(kmap), "kmap", truncated
+            # universal gate (converter.py:199-204): a rich embedded
+            # payload wins outright; a tiny fragment (<800 chars) forces
+            # the full-DOM tier — overriding even a per-request
+            # html_converter, exactly as the reference overwrites
+            # eff_html_conv with 'markitdown'
+            if len(kmap) >= 800:
+                return _polish(kmap), "kmap", truncated
+            return _polish(_extract(html, main_only=False)), "full", truncated
         if forced_converter and forced_converter != "auto":
             # per-request converter override: the forced tier runs with
             # NO fallback — a failure is a conversion failure (C9 outer
@@ -349,6 +575,11 @@ CONVERT_SCHEMA = T.StructType([
     T.StructField("markdown_length", T.IntegerType(), False),
     T.StructField("converter_used", T.StringType(), False),
     T.StructField("truncated", T.BooleanType(), False),
+    # per-request llm_anonymize flag rides through conversion so the
+    # downstream LLM stage can honor it row-wise (reference
+    # schemas.py:205, main.py:445-457); NULL when the input has no
+    # such column
+    T.StructField("llm_anonymize", T.BooleanType(), True),
     T.StructField("image_id", T.StringType(), True),
     T.StructField("image_bytes", T.BinaryType(), True),
     T.StructField("w", T.IntegerType(), True),
@@ -394,6 +625,7 @@ def convert_stage(
     default_policy = cfg.media_policy
     has_policy_col = "media_policy" in fetched.columns
     has_forced_col = "html_converter" in fetched.columns
+    has_anon_col = "llm_anonymize" in fetched.columns
 
     scale = cfg.payload_scale
 
@@ -432,6 +664,11 @@ def convert_stage(
                 out["markdown_length"].append(len(md))
                 out["converter_used"].append(conv)
                 out["truncated"].append(trunc)
+                out["llm_anonymize"].append(
+                    bool(row["llm_anonymize"])
+                    if has_anon_col and row["llm_anonymize"] is not None
+                    else None
+                )
                 if minted and ctype.startswith("image/"):
                     p = codec.make_payload_row(int(pid))
                     out["image_id"].append(p["image_id"])
@@ -447,7 +684,8 @@ def convert_stage(
             res = pd.DataFrame(out)
             # mixed None+int columns coerce to float64 and corrupt
             # 64-bit values — force nullable integer dtypes
-            for k, dt in (("w", "Int32"), ("h", "Int32"), ("phash", "Int64")):
+            for k, dt in (("w", "Int32"), ("h", "Int32"), ("phash", "Int64"),
+                          ("llm_anonymize", "boolean")):
                 res[k] = pd.array(out[k], dtype=dt)
             yield res
 
@@ -455,7 +693,7 @@ def convert_stage(
         ["url", "page_id", "content_type", payload_col]
     )
     cols = cols + [
-        c for c in ("media_policy", "html_converter")
+        c for c in ("media_policy", "html_converter", "llm_anonymize")
         if c in fetched.columns and c not in cols
     ]
     return fetched.select(*cols).mapInPandas(run, schema=CONVERT_SCHEMA)

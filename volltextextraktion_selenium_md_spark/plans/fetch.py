@@ -49,7 +49,15 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         "text_len", "has_main", "spa_mark", "js_required",
         "consent", "bot_wall", "rss_link", "youtube",
     )
-    joined = admitted.join(page_cols, on="url", how="left")
+    # SHUFFLE_HASH, not broadcast: the engine persists pages hash-
+    # partitioned on url, so this side joins exchange-free; without the
+    # hint Spark broadcasts the pages relation (it fits the 64 MB
+    # threshold at sandbox SF) and REBUILDS that broadcast every round —
+    # a fixed ~1-2 s/round tax, and the wrong shape at 10^10 pages
+    # where the lakehouse pages table is bucketed on url and can never
+    # be broadcast. The frontier side (orders of magnitude smaller per
+    # round) pays the only exchange.
+    joined = admitted.join(page_cols.hint("shuffle_hash"), on="url", how="left")
 
     # per-request mode dispatch (reference schemas.py:85-104, dispatch
     # app/main.py:315-391): preflight classification only runs in
@@ -258,8 +266,8 @@ def live_decisions(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 LINKS_SCHEMA = (
     "p_url string, p_depth int, p_lineage string, p_priority int, "
-    "p_mode string, p_js_strategy string, doc_pos int, raw_url string, "
-    "text string"
+    "p_mode string, p_js_strategy string, p_llm_anonymize boolean, "
+    "doc_pos int, raw_url string, text string"
 )
 
 
@@ -282,7 +290,8 @@ def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in (
                 "p_url", "p_depth", "p_lineage", "p_priority", "p_mode",
-                "p_js_strategy", "doc_pos", "raw_url", "text")}
+                "p_js_strategy", "p_llm_anonymize", "doc_pos", "raw_url",
+                "text")}
             for r in pdf.to_dict("records"):
                 payload = r["payload"]
                 if payload is None:
@@ -296,6 +305,7 @@ def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
                     rows["p_priority"].append(r["priority"])
                     rows["p_mode"].append(r["mode"])
                     rows["p_js_strategy"].append(r["js_strategy"])
+                    rows["p_llm_anonymize"].append(r.get("llm_anonymize"))
                     rows["doc_pos"].append(pos)
                     rows["raw_url"].append(absolute)
                     rows["text"].append(text)
@@ -312,12 +322,14 @@ def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
         F.col("p_priority").alias("priority"),
         F.col("p_mode").alias("mode"),
         F.col("p_js_strategy").alias("js_strategy"),
+        F.col("p_llm_anonymize").alias("llm_anonymize"),
         F.lit(0).alias("attempt"),
         F.lit(next_round).alias("round_added"),
     )
     return canon.select(
         "url", url_host(F.col("url")).alias("host"), "depth", "lineage",
-        "priority", "mode", "js_strategy", "attempt", "round_added",
+        "priority", "mode", "js_strategy", "llm_anonymize", "attempt",
+        "round_added",
     )
 
 
@@ -463,8 +475,15 @@ def live_fetch(
         F.col("proxy") if "proxy" in admitted.columns
         else F.lit(cfg.proxy).cast("string")
     )
+    # NULL allow_insecure_ssl means "use the global setting" (reference
+    # http_fetcher.py:43, README "null nutzt .env") — coalesce to the
+    # config default; a NULL proxy means NO proxy by the same reference
+    # semantics, so proxy does NOT coalesce
     ssl_src = (
-        F.col("allow_insecure_ssl") if "allow_insecure_ssl" in admitted.columns
+        F.coalesce(
+            F.col("allow_insecure_ssl"), F.lit(bool(cfg.allow_insecure_ssl))
+        )
+        if "allow_insecure_ssl" in admitted.columns
         else F.lit(bool(cfg.allow_insecure_ssl))
     )
     salted = salted.withColumn("_proxy", normalize_proxy(proxy_src)).withColumn(

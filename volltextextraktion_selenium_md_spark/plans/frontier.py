@@ -42,6 +42,7 @@ Scale notes (10^10-URL design point):
 from __future__ import annotations
 
 import os
+import threading
 import time as _time
 from dataclasses import dataclass, field
 
@@ -78,7 +79,7 @@ from volltextextraktion_selenium_md_spark.plans.fetch import (
 
 FRONTIER_COLS = [
     "url", "host", "depth", "lineage", "priority", "mode", "js_strategy",
-    "attempt", "round_added",
+    "llm_anonymize", "attempt", "round_added",
 ]
 
 LOG_COLS = [
@@ -105,6 +106,7 @@ class CrawlResult:
     partition_metrics: DataFrame | None = None  # per (round, partition) lineage
     conversions: DataFrame | None = None  # per-page markdown (with_convert)
     round_walls: list[float] = field(default_factory=list)  # driver s/round
+    post_loop_s: float = 0.0  # drain + global-ordinal endgame wall
 
 
 def global_ordinal(
@@ -157,12 +159,17 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         F.col("js_strategy") if "js_strategy" in src.columns
         else F.lit("speed")  # reference default (schemas.py js_strategy)
     )
+    llm_anonymize = (
+        F.col("llm_anonymize") if "llm_anonymize" in src.columns
+        else F.lit(False)  # reference default (schemas.py:205 llm_anonymize)
+    )
     seeds = src.select(
         canonicalize_url(F.col("raw_url")).alias("url"),
         F.col("seed_idx"),
         F.col("priority"),
         F.col("mode"),
         js_strategy.alias("js_strategy"),
+        llm_anonymize.alias("llm_anonymize"),
     )
     f = seeds.select(
         "url",
@@ -170,12 +177,14 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         F.lit(0).alias("depth"),
         _pad6(F.col("seed_idx")).alias("lineage"),
         F.col("priority"),
-        # per-request fetch mode + JS pool (reference schemas.py:85-104,
-        # js_strategy speed/accuracy pools js_fetcher.py:201-202); a
-        # crawl loop re-POSTs children with the same request settings,
-        # so children inherit the seed's mode and js_strategy
+        # per-request fetch mode + JS pool + LLM anonymize flag
+        # (reference schemas.py:85-104, js_strategy speed/accuracy pools
+        # js_fetcher.py:201-202, llm_anonymize schemas.py:205 honored at
+        # main.py:445-457); a crawl loop re-POSTs children with the same
+        # request settings, so children inherit the seed's values
         F.col("mode"),
         F.col("js_strategy"),
+        F.col("llm_anonymize"),
         F.lit(0).alias("attempt"),
         F.lit(0).alias("round_added"),
     )
@@ -205,6 +214,7 @@ class CrawlEngine:
         fetch_mode: str = "simulated",
         transport_factory=None,
         overlap_convert: bool = True,
+        seen_partitioned_min_rows: int | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -258,6 +268,12 @@ class CrawlEngine:
         # the two threads.
         if eager_fetch_checkpoint is None:
             eager_fetch_checkpoint = not with_convert or self.overlap_convert
+        elif self.overlap_convert and not eager_fetch_checkpoint:
+            # a lazy fetch checkpoint under overlap_convert races its
+            # first materialization between the loop and the bulk
+            # thread — force eager rather than run nondeterministically
+            # (reachable via SPARK_GRAFT_EAGER=0 with default overlap)
+            eager_fetch_checkpoint = True
         self.eager_fetch_checkpoint = eager_fetch_checkpoint
         self.emit_markdown = emit_markdown
         # optional LLM postprocess over converted markdown (plans/llm.py):
@@ -276,6 +292,30 @@ class CrawlEngine:
         self.num_partitions = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
+        # volume-adaptive seen set (round-4 verdict #1): below this many
+        # seen rows the base is a PLAIN checkpoint and the anti-join is
+        # a normal (AQE-broadcast) join — the eager repartition+sort
+        # machinery of the partitioned base costs more than it saves at
+        # small rounds. Once the seen estimate crosses the threshold the
+        # engine promotes (monotonically) to the partitioned base whose
+        # per-round shuffle is O(round delta), never O(total seen).
+        # 1M urls ≈ 100 MB of (url, h1, h2) — past broadcast range.
+        if seen_partitioned_min_rows is None:
+            seen_partitioned_min_rows = int(
+                os.environ.get("SPARK_GRAFT_SEEN_PARTITIONED_MIN", "1000000")
+            )
+        self.seen_partitioned_min_rows = seen_partitioned_min_rows
+        self._seen_partitioned = False
+        # convert-task granularity multiplier for the pipelined path
+        # (round-4 verdict #3 "finer convert tasks")
+        self.convert_task_factor = max(
+            1, int(os.environ.get("SPARK_GRAFT_CONVERT_FACTOR", "4"))
+        )
+        # serializes _ckpt_partitioned's session-conf AQE toggle against
+        # the background bulk thread (round-4 verdict #9): a bulk job
+        # planned inside the toggle window would silently run without
+        # AQE. The bulk worker holds the lock while planning/running.
+        self._conf_lock = threading.Lock()
         graph.register_graph_views(spark, sf_dir)
         self.pages = graph.pages(spark)
         self.robots = graph.robots(spark)
@@ -295,6 +335,12 @@ class CrawlEngine:
             self.seeds = graph.mirror_seeds(self.seeds, mirrors, self.span)
             self.robots = graph.mirror_robots(self.robots, mirrors)
 
+    # the only link columns the round loop consumes downstream (child
+    # rows are (canonicalized raw_url, dst_host, doc_pos) + parent
+    # attributes) — the persisted per-round link relation projects to
+    # these, halving the cache bytes vs the full g_links row
+    LINK_COLS = ["src_page_id", "doc_pos", "dst_host", "raw_url"]
+
     def _children_links(self, parents: DataFrame) -> DataFrame:
         """parents (src_page_id in mirrored id space) x links -> child
         link rows in mirrored URL space."""
@@ -307,16 +353,14 @@ class CrawlEngine:
         ).join(self.links, on="src_page_id")
         return j.select(
             *[c for c in parents.columns if c != "src_page_id"],
-            (F.col("src_page_id") + F.col("_mir") * self.span).alias("src_page_id"),
             "doc_pos",
-            (F.col("dst_page_id") + F.col("_mir") * self.span).alias("dst_page_id"),
-            graph.insert_mirror(F.col("dst_url"), F.col("_mir")).alias("dst_url"),
             graph.insert_mirror(F.col("dst_host"), F.col("_mir")).alias("dst_host"),
-            "text",
             graph.insert_mirror(F.col("raw_url"), F.col("_mir")).alias("raw_url"),
         )
 
-    def _ckpt_partitioned(self, df: DataFrame, key: str = "url") -> DataFrame:
+    def _ckpt_partitioned(
+        self, df: DataFrame, key: str = "url", blocking: bool = True
+    ) -> DataFrame | None:
         """Eager localCheckpoint that KEEPS hash(key) partitioning and
         per-partition ordering visible to later plans. AQE must be off
         while the checkpoint is captured: under AQE the physical root is
@@ -325,18 +369,43 @@ class CrawlEngine:
         ENSURE_REQUIREMENTS exchange in every consumer (verified on
         Spark 4.1; with the toggle the downstream AQE-planned anti-join
         shows ZERO exchanges on this side). The sort lets the SMJ skip
-        the base-side sort too."""
-        conf = self.spark.conf
-        prev = conf.get("spark.sql.adaptive.enabled", "true")
-        conf.set("spark.sql.adaptive.enabled", "false")
+        the base-side sort too. Holds _conf_lock so the bulk thread
+        never plans a job during the toggle window; with
+        ``blocking=False`` the call returns None instead of waiting for
+        an in-flight bulk job (the caller defers the compaction)."""
+        if not self._conf_lock.acquire(blocking=blocking):
+            return None
         try:
-            return (
-                df.repartition(self.num_partitions, key)
-                .sortWithinPartitions(key)
-                .localCheckpoint()
-            )
+            conf = self.spark.conf
+            prev = conf.get("spark.sql.adaptive.enabled", "true")
+            conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                return (
+                    df.repartition(self.num_partitions, key)
+                    .sortWithinPartitions(key)
+                    .localCheckpoint()
+                )
+            finally:
+                conf.set("spark.sql.adaptive.enabled", prev)
         finally:
-            conf.set("spark.sql.adaptive.enabled", prev)
+            self._conf_lock.release()
+
+    def _ckpt_seen(
+        self, df: DataFrame, n_hint: int, blocking: bool = True
+    ) -> DataFrame | None:
+        """Checkpoint a (compacted) seen base, volume-adaptively: small
+        bases take a plain eager checkpoint (no repartition/sort jobs,
+        no AQE toggle — the anti-join broadcasts them), large bases the
+        partitioned+sorted form (exchange-free base side). Promotion is
+        monotonic so a run never flip-flops layouts. Returns None when
+        ``blocking=False`` and the bulk thread holds the conf lock —
+        compaction timing is a perf detail, so the caller just retries
+        next round (bounded by the force cap at the call site)."""
+        if n_hint >= self.seen_partitioned_min_rows:
+            self._seen_partitioned = True
+        if self._seen_partitioned:
+            return self._ckpt_partitioned(df, blocking=blocking)
+        return df.localCheckpoint()
 
     @staticmethod
     def _union_parts(parts: list[DataFrame]) -> DataFrame:
@@ -346,6 +415,31 @@ class CrawlEngine:
         return out
 
     def run(self) -> CrawlResult:
+        # FAIR pool split (round-4 scaling fix): the loop thread's small
+        # barrier stages get the "loop" pool (weight 2 + minShare) so
+        # they never queue behind the bulk thread's long convert task
+        # sets; the bulk thread claims "bulk" inside _bulk. Local
+        # properties are per-thread (pinned-thread mode), so this only
+        # tags the engine's own jobs; with a FIFO scheduler the
+        # property is simply ignored.
+        sc = self.spark.sparkContext
+        prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", "loop")
+        try:
+            return self._run_impl()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", prev_pool)
+            # error-path cleanup: if the round loop or a drain raised,
+            # cancel queued bulk-convert jobs and close the pool so no
+            # non-daemon worker keeps submitting Spark jobs against a
+            # session the caller may stop (success path already closed
+            # it and set it to None)
+            pool = getattr(self, "_bulk_pool", None)
+            if pool is not None:
+                pool.shutdown(wait=True, cancel_futures=True)
+                self._bulk_pool = None
+
+    def _run_impl(self) -> CrawlResult:
         cfg = self.cfg
         # pages/links are temp-view-backed (window + explode under the
         # hood); persist once so rounds don't re-derive them — the
@@ -359,9 +453,11 @@ class CrawlEngine:
         # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning).
         if self.fetch_mode == "simulated":
             self.pages = self.pages.repartition(self.num_partitions, "url").persist()
-            self.links = self.links.repartition(
-                self.num_partitions, "src_page_id"
-            ).persist()
+            self.links = (
+                self.links.select(*self.LINK_COLS)
+                .repartition(self.num_partitions, "src_page_id")
+                .persist()
+            )
         # robots rules re-derive from the parquet view on EVERY round's
         # broadcast build otherwise — persist the (tiny) relation once
         self.robots = self.robots.persist()
@@ -398,15 +494,19 @@ class CrawlEngine:
                 # checkpoint written before the js_strategy column
                 # existed — migrate with the reference default
                 frontier = frontier.withColumn("js_strategy", F.lit("speed"))
+            if "llm_anonymize" not in frontier.columns:
+                frontier = frontier.withColumn("llm_anonymize", F.lit(False))
             frontier = frontier.localCheckpoint()
-            # seen set = BASE + DELTAS: the base is kept hash(url)-
-            # partitioned + sorted through its checkpoint, so each
-            # round's anti-join moves no base rows (filter_unseen_parts)
+            # seen set = BASE + DELTAS: above the volume threshold the
+            # base is kept hash(url)-partitioned + sorted through its
+            # checkpoint, so each round's anti-join moves no base rows
+            # (filter_unseen_parts); small bases stay plain and the
+            # anti-join broadcasts them
+            n_seen = man["meta"].get("n_seen_hint", 1024)
             seen_parts = [
-                self._ckpt_partitioned(self.store.read(self.spark, "seen"))
+                self._ckpt_seen(self.store.read(self.spark, "seen"), n_seen)
             ]
             logs = [self.store.read(self.spark, "fetch_log").localCheckpoint()]
-            n_seen = man["meta"].get("n_seen_hint", 1024)
             blobs_present = set(man.get("blobs", []))
             if self.use_bloom:
                 if self.seen_shards > 0 and "seen_shards" in blobs_present:
@@ -426,7 +526,7 @@ class CrawlEngine:
                 init_frontier(self.spark, self.seeds)
             ).localCheckpoint()
             seen_parts = [
-                self._ckpt_partitioned(frontier.select("url", "h1", "h2"))
+                self._ckpt_seen(frontier.select("url", "h1", "h2"), 0)
             ]
             n_seen = 0
         if self.use_cuckoo and self.cuckoo is None:
@@ -465,7 +565,8 @@ class CrawlEngine:
             keep = list(
                 dict.fromkeys(
                     LOG_COLS[1:]
-                    + ["page_status", "priority", "js_strategy", "h1", "h2"]
+                    + ["page_status", "priority", "js_strategy",
+                       "llm_anonymize", "h1", "h2"]
                     + (CONVERT_FEATURES if self.with_convert else [])
                 )
             )
@@ -475,8 +576,8 @@ class CrawlEngine:
                     transport_factory=self.transport_factory,
                     num_partitions=self.num_partitions,
                     passthrough=[
-                        "priority", "mode", "js_strategy", "h1", "h2",
-                        "sched_slot_ms",
+                        "priority", "mode", "js_strategy", "llm_anonymize",
+                        "h1", "h2", "sched_slot_ms",
                     ],
                 )
                 # partition_id comes from the salted live stage itself
@@ -493,7 +594,12 @@ class CrawlEngine:
                     .withColumn("partition_id", F.spark_partition_id())
                 )
             if self.eager_fetch_checkpoint:
+                _t_f = _time.time()
+                if os.environ.get("SPARK_GRAFT_EXPLAIN_ROUND") == str(rnd):
+                    fetched.explain("formatted")
                 fetched = fetched.localCheckpoint()
+                if os.environ.get("SPARK_GRAFT_ROUND_PROFILE"):
+                    print(f"[round {rnd}] fetch_ckpt {_time.time() - _t_f:.2f}s")
             else:
                 # lazy checkpoint: the round's ONE materializing action
                 # (the frontier count below) computes AND stores fetched;
@@ -533,8 +639,18 @@ class CrawlEngine:
                 # see from the upstream shuffle's input bytes — with
                 # sizing-based coalescing the tiny feature rows would
                 # collapse to a handful of partitions and strand cores
+                # explicit convert width, FINER in the pipelined path
+                # (k x cores): a ~30 s convert task set at mirrors=64
+                # otherwise occupies whole scheduling quanta, and even
+                # under FAIR the loop's barrier stages wait for the
+                # tail of in-flight long tasks. k=4 cuts task length
+                # ~4x at ~ms-level task-launch overhead; the serial
+                # path keeps 1x width (no interleaving to enable).
+                conv_width = self.num_partitions * (
+                    self.convert_task_factor if self.overlap_convert else 1
+                )
                 conv = convert_stage(
-                    ok.repartition(self.num_partitions),
+                    ok.repartition(conv_width),
                     cfg, emit_markdown=self.emit_markdown,
                     payload_col="payload" if self.fetch_mode == "live" else None,
                 )
@@ -548,7 +664,7 @@ class CrawlEngine:
                     # on the LLM path — CrawlResponse.error_page_detected
                     co = conv_df.select(
                         "url", "page_id", "markdown", "markdown_length",
-                        "converter_used", "truncated",
+                        "converter_used", "truncated", "llm_anonymize",
                     ).withColumn(
                         "error_page_detected",
                         error_page_detected(
@@ -560,8 +676,13 @@ class CrawlEngine:
                             llm_postprocess_stage,
                         )
 
+                        # per-request llm_anonymize (reference
+                        # schemas.py:205, honored at main.py:445-457):
+                        # the frontier column rides through the convert
+                        # stage and steers the LLM stage row-wise
                         co = llm_postprocess_stage(
-                            co, error_col="error_page_detected"
+                            co, error_col="error_page_detected",
+                            anonymize_col="llm_anonymize",
                         )
                     b = conv_df.filter(F.col("image_id").isNotNull()).select(
                         "image_id",
@@ -586,14 +707,24 @@ class CrawlEngine:
                     # from the stored partitions. ONE worker thread
                     # keeps payload MERGEs in round order.
                     def _bulk(c=conv):
-                        conv_ck = c.localCheckpoint()
-                        co, b = _derive(conv_ck)
-                        if self.payload_table is not None:
-                            merge_into(
-                                self.spark, self.payload_table, b, "image_id"
-                            )
-                            return co, None
-                        return co, b
+                        # the bulk thread's jobs run in the weight-1
+                        # "bulk" FAIR pool: convert tasks fill slots the
+                        # loop leaves idle but never starve its barriers
+                        self.spark.sparkContext.setLocalProperty(
+                            "spark.scheduler.pool", "bulk"
+                        )
+                        # _conf_lock: never plan/run a bulk job while
+                        # _ckpt_partitioned has AQE toggled off on the
+                        # shared session conf
+                        with self._conf_lock:
+                            conv_ck = c.localCheckpoint()
+                            co, b = _derive(conv_ck)
+                            if self.payload_table is not None:
+                                merge_into(
+                                    self.spark, self.payload_table, b, "image_id"
+                                )
+                                return co, None
+                            return co, b
 
                     bulk_futures.append(self._bulk_pool.submit(_bulk))
                 else:
@@ -615,7 +746,7 @@ class CrawlEngine:
                 fetched.filter(F.col("outcome") == "retry")
                 .select(
                     "url", "host", "depth", "lineage", "priority", "mode",
-                    "js_strategy",
+                    "js_strategy", "llm_anonymize",
                     (F.col("attempt") + 1).alias("attempt"),
                     F.lit(rnd + 1).alias("round_added"),
                     "h1", "h2",
@@ -635,7 +766,7 @@ class CrawlEngine:
                 children = links_from_payloads(
                     fetched.filter(parent_filter).select(
                         "url", "final_url", "payload", "depth", "lineage",
-                        "priority", "mode", "js_strategy",
+                        "priority", "mode", "js_strategy", "llm_anonymize",
                     ),
                     rnd + 1,
                 )
@@ -647,6 +778,7 @@ class CrawlEngine:
                     F.col("priority").alias("p_priority"),
                     F.col("mode").alias("p_mode"),
                     F.col("js_strategy").alias("p_js_strategy"),
+                    F.col("llm_anonymize").alias("p_llm_anonymize"),
                 )
                 children = (
                     self._children_links(parents)
@@ -658,6 +790,7 @@ class CrawlEngine:
                         F.col("p_priority").alias("priority"),
                         F.col("p_mode").alias("mode"),
                         F.col("p_js_strategy").alias("js_strategy"),
+                        F.col("p_llm_anonymize").alias("llm_anonymize"),
                         F.lit(0).alias("attempt"),
                         F.lit(rnd + 1).alias("round_added"),
                     )
@@ -704,11 +837,25 @@ class CrawlEngine:
                 # partitioned+sorted base (at 10^10 scale this is the
                 # lakehouse seen-table MERGE; locally a checkpoint
                 # rewrite) — bounds the anti-join chain depth at
-                # seen_compact_every + 1
-                seen_parts = [
-                    self._ckpt_partitioned(self._union_parts(seen_parts))
-                ]
+                # seen_compact_every + 1. Volume-adaptive: small seen
+                # sets compact into a plain checkpoint instead. When the
+                # bulk-convert thread is mid-job (it holds _conf_lock
+                # for its whole body so the AQE toggle can't corrupt its
+                # plans), the compaction DEFERS a round rather than
+                # stall the loop behind a multi-job convert — until the
+                # delta chain hits 2x the compact interval, at which
+                # point we do block (anti-join depth stays bounded).
+                force = len(seen_parts) > 2 * self.seen_compact_every
+                base = self._ckpt_seen(
+                    self._union_parts(seen_parts), n_seen, blocking=force
+                )
+                if base is not None:
+                    seen_parts = [base]
+            _t_c = _time.time()
             n_frontier = frontier.count()
+            if os.environ.get("SPARK_GRAFT_ROUND_PROFILE"):
+                print(f"[round {rnd}] frontier_count {_time.time() - _t_c:.2f}s"
+                      f" n={n_frontier}")
 
             committing = (
                 self.store is not None
@@ -781,6 +928,7 @@ class CrawlEngine:
             round_walls.append(round(_time.time() - _t_round, 3))
             rnd += 1
 
+        _t_post = _time.time()
         if self._bulk_pool is not None:
             # drain the pipelined convert jobs (re-raises any worker
             # exception); checkpointed results slot into the same lists
@@ -853,4 +1001,5 @@ class CrawlEngine:
             partition_metrics=partition_metrics,
             conversions=conversions_df,
             round_walls=round_walls,
+            post_loop_s=round(_time.time() - _t_post, 3),
         )

@@ -230,7 +230,13 @@ def llm_postprocess_stage(
             prompts = pdf[prompt_col] if prompt_col else [None] * len(pdf)
             pdf = pdf.copy()
             pdf["llm"] = [
-                postprocess_one(md, int(pid), bool(e), bool(a), p)
+                # pd.isna: a NULL anonymize flag (nullable-boolean NA)
+                # means "request didn't set it" -> reference default
+                # False (schemas.py:205)
+                postprocess_one(
+                    md, int(pid), bool(e),
+                    bool(a) if not pd.isna(a) else False, p,
+                )
                 for md, pid, e, a, p in zip(
                     pdf[markdown_col], pdf[page_id_col], errors, anon, prompts
                 )

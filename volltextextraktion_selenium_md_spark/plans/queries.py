@@ -762,14 +762,18 @@ def q_crawl_full(spark, sf_dir):
 
 
 def q_crawl_metrics(spark, sf_dir):
-    return _crawl_result(spark, sf_dir).metrics
-
-
-def q_crawl_partition_metrics(spark, sf_dir):
-    """Per-partition lineage/metrics (north rule): which physical
-    partition carried each decision, per round. Rows-only (partition
-    assignment is an execution detail, not SQL semantics)."""
-    return _crawl_result(spark, sf_dir).partition_metrics
+    """Per-(round, partition, outcome) lineage metrics (north rule):
+    the JOINT grouping covers both the per-round outcome marginal
+    (CrawlResult.metrics) and the per-partition lineage marginal
+    (CrawlResult.partition_metrics) in one gate entry — the driver's
+    correctness harness caps at 50 queries, and two marginals of the
+    same log were silently pushing payload_table past the cap (round-4
+    verdict #8). Rows-only (partition assignment is an execution
+    detail, not SQL semantics)."""
+    res = _crawl_result(spark, sf_dir)
+    return res.fetch_log.groupBy("round", "partition_id", "outcome").agg(
+        F.count("*").alias("n")
+    )
 
 
 def q_crawl_then_dedup(spark, sf_dir):
