@@ -13,7 +13,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# repo root = parent of scripts/ — portable so the same script can
+# benchmark an older checkout from a worktree
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 

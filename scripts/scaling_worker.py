@@ -113,14 +113,16 @@ def main() -> None:
         if "=" in kv
     )
     if mirrors >= 8:
-        # high-volume shape -> sizing-based AQE coalescing (scoped here,
-        # not a session default; round-4 verdict #2). SPARK_GRAFT_CONF
-        # still wins for A/B sweeps.
+        # high-volume shape -> sizing-based AQE coalescing + FAIR pools
+        # for the loop/bulk split (scoped here, not session defaults;
+        # round-4 verdict #2/#3). SPARK_GRAFT_CONF still wins for A/B
+        # sweeps.
         from volltextextraktion_selenium_md_spark.session import (
+            FAIR_SCHEDULER_CONF,
             SIZING_COALESCE_CONF,
         )
 
-        extra = {**SIZING_COALESCE_CONF, **extra}
+        extra = {**SIZING_COALESCE_CONF, **FAIR_SCHEDULER_CONF, **extra}
     spark = get_spark(
         app_name=f"scaling-{job}-{cores}",
         master=f"local[{cores}]",

@@ -11,7 +11,8 @@ from volltextextraktion_selenium_md_spark.config import CrawlConfig
 from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
 from volltextextraktion_selenium_md_spark.replay import replay_crawl
 
-KEY = ("ordinal", "round", "url", "depth", "lineage", "mode", "attempt", "outcome")
+KEY = ("ordinal", "round", "url", "depth", "lineage", "mode", "attempt",
+       "outcome", "js_escalated")
 
 
 def _spark_order(res):
@@ -38,6 +39,10 @@ def test_crawl_order_and_seen_exact_match(spark, use_bloom):
     # the seed list mixes fast/js/auto modes — the per-request mode
     # column must ride through the whole crawl, not collapse to 'auto'
     assert {g["mode"] for g in rep.crawl_order} == {"fast", "js", "auto"}
+    # the failure ladder (speed->accuracy escalation) actually fires in
+    # this crawl — bot walls exist in the graph — and the exact-match
+    # KEY above already proved engine==replay row-for-row on the flag
+    assert any(g["js_escalated"] for g in rep.crawl_order)
 
 
 def test_tight_budget_and_retries_still_match(spark):

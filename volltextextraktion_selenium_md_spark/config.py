@@ -81,6 +81,19 @@ class CrawlConfig:
     # JS_LIGHT charge (120 -> 300) on any request that actually renders
     js_accuracy_extra_ms: int = 180
 
+    # speed-pool renderer cap, ms: the failure ladder's trigger. In the
+    # reference a SPEED render that hits the renderer timeout — or
+    # exhausts its retries, which a bot wall always does — escalates
+    # ONCE to a fresh accuracy-pool driver (app/js_fetcher.py:896-946
+    # early path, :933-946 exhaustion path). The deterministic twin: a
+    # speed-pool Selenium render whose modeled latency exceeds this cap
+    # (or whose strategy is BLOCKED) pays the one-shot accuracy
+    # surcharge and records js_escalated. 160 sits between the plain
+    # JS_LIGHT render (120/150) and the double-fetch second-chance miss
+    # (60+120=180), mirroring the reference where only the slow tail of
+    # speed renders trips the ladder.
+    js_renderer_cap_ms: int = 160
+
     # fetch-stage cost model, ms/page — midpoints of the reference's
     # documented latency ranges (README.md:223,362,363; BASELINE.md)
     cost_ms: dict[str, int] = field(default_factory=lambda: {

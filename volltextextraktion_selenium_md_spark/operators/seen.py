@@ -340,6 +340,7 @@ def filter_unseen_parts(
     candidates: DataFrame,
     seen_parts: list[DataFrame],
     bloom: BloomFilter | None = None,
+    broadcast_base: bool = False,
 ) -> DataFrame:
     """`filter_unseen` against a seen set maintained as BASE + DELTAS
     (round-4 rounds-phase fix): the engine keeps the compacted base
@@ -360,10 +361,16 @@ def filter_unseen_parts(
     # exactly TWO joins regardless of delta count: base (exchange-free,
     # pre-sorted) + one union of the small deltas (one broadcast build,
     # not one per delta — the chain form paid a growing number of
-    # per-round broadcast jobs)
-    maybe_seen = maybe_seen.join(
-        seen_parts[0].select("url"), on="url", how="left_anti"
-    )
+    # per-round broadcast jobs). Below the volume threshold the engine
+    # keeps the base as a PLAIN checkpoint and asks for an explicit
+    # broadcast here: a LogicalRDD carries no size stats, so without
+    # the hint the planner assumes worst case and plans a two-sided
+    # sort-merge — several extra AQE stages of pure driver latency at
+    # small-round volume.
+    base = seen_parts[0].select("url")
+    if broadcast_base:
+        base = F.broadcast(base)
+    maybe_seen = maybe_seen.join(base, on="url", how="left_anti")
     if len(seen_parts) > 1:
         deltas = seen_parts[1].select("url")
         for part in seen_parts[2:]:

@@ -332,36 +332,55 @@ FROM routed
     )
 
 
-def _cost_case() -> str:
-    """Modeled request latency (twin of plans/fetch.py's cost column,
-    incl. the js_strategy 'accuracy' pool surcharge on any branch that
-    actually renders through Selenium)."""
+def _cost_exprs() -> tuple[str, str]:
+    """(total_cost_sql, escalated_sql) — twin of plans/fetch.py's cost
+    column: strategy midpoints, second-chance JS surcharge, mode
+    overrides, the js_strategy 'accuracy' pool surcharge on any branch
+    that actually renders through Selenium (incl. the BLOCKED refetch),
+    and the speed->accuracy failure-ladder escalation (reference
+    app/js_fetcher.py:896-946): a speed-pool render over the renderer
+    cap, or a BLOCKED one, pays the one-shot accuracy surcharge."""
     from volltextextraktion_selenium_md_spark.config import CrawlConfig
 
     cfg = CrawlConfig()
     x = cfg.js_accuracy_extra_ms
-    acc = "js_strategy = 'accuracy'"
+    acc = "(js_strategy = 'accuracy')"
+    strat = _strategy_case()
+    sc = cfg.second_chance_text_len
     per_strategy = "\n".join(
-        f"    WHEN {_strategy_case()} = '{s}' THEN {ms}"
-        + (
-            f" + CASE WHEN {acc} THEN {x} ELSE 0 END"
-            if s in ("JS_LIGHT", "JS_LIGHT_CONSENT")
-            else ""
-        )
+        f"    WHEN {strat} = '{s}' THEN {ms}"
         for s, ms in cfg.cost_ms.items()
     )
-    return f"""
-CASE
+    base = f"""CASE
   WHEN mode = 'fast' THEN {cfg.cost_ms['HTTP_ONLY']}
-  WHEN mode = 'js'
-       THEN {cfg.cost_ms['JS_LIGHT']} + CASE WHEN {acc} THEN {x} ELSE 0 END
-  WHEN {_strategy_case()} = 'HTTP_THEN_JS'
-       AND text_len < {cfg.second_chance_text_len}
+  WHEN mode = 'js' THEN {cfg.cost_ms['JS_LIGHT']}
+  WHEN {strat} = 'HTTP_THEN_JS' AND text_len < {sc}
        THEN {cfg.cost_ms['HTTP_THEN_JS'] + cfg.cost_ms['JS_LIGHT']}
-            + CASE WHEN {acc} THEN {x} ELSE 0 END
 {per_strategy}
-END
-"""
+END"""
+    blocked = (
+        f"((mode = 'auto' AND {strat} = 'BLOCKED')"
+        " OR (mode = 'js' AND bot_wall))"
+    )
+    renders = (
+        "(mode = 'js'"
+        f" OR (mode = 'auto' AND {strat} IN ('JS_LIGHT', 'JS_LIGHT_CONSENT'))"
+        f" OR (mode = 'auto' AND {strat} = 'HTTP_THEN_JS' AND text_len < {sc})"
+        f" OR {blocked})"
+    )
+    esc = (
+        f"({renders} AND NOT {acc}"
+        f" AND ({blocked} OR ({base}) > {cfg.js_renderer_cap_ms}))"
+    )
+    cost = (
+        f"(({base}) + CASE WHEN ({renders} AND {acc}) OR {esc}"
+        f" THEN {x} ELSE 0 END)"
+    )
+    return cost, esc
+
+
+def _cost_case() -> str:
+    return _cost_exprs()[0]
 
 
 def sql_fetch_timeout() -> str:
@@ -373,7 +392,9 @@ def sql_fetch_timeout() -> str:
         _with({"mode_cases": Q.MODE_CASES_BODY})
         + f"""
 , costed AS (
-  SELECT p.page_id, m.mode, m.js_strategy, p.status, ({_cost_case()}) AS cost
+  SELECT p.page_id, m.mode, m.js_strategy, p.status,
+         ({_cost_exprs()[0]}) AS cost,
+         ({_cost_exprs()[1]}) AS js_escalated
   FROM mode_cases m JOIN g_pages p ON p.page_id = m.page_id
 )
 SELECT page_id, mode, js_strategy,
@@ -384,6 +405,7 @@ SELECT page_id, mode, js_strategy,
     WHEN status >= 400 THEN 'failed'
     ELSE 'fetched'
   END AS outcome,
+  js_escalated,
   CAST(cost AS INTEGER) AS elapsed_ms
 FROM costed
 """

@@ -49,15 +49,17 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         "text_len", "has_main", "spa_mark", "js_required",
         "consent", "bot_wall", "rss_link", "youtube",
     )
-    # SHUFFLE_HASH, not broadcast: the engine persists pages hash-
-    # partitioned on url, so this side joins exchange-free; without the
-    # hint Spark broadcasts the pages relation (it fits the 64 MB
-    # threshold at sandbox SF) and REBUILDS that broadcast every round —
-    # a fixed ~1-2 s/round tax, and the wrong shape at 10^10 pages
-    # where the lakehouse pages table is bucketed on url and can never
-    # be broadcast. The frontier side (orders of magnitude smaller per
-    # round) pays the only exchange.
-    joined = admitted.join(page_cols.hint("shuffle_hash"), on="url", how="left")
+    # no join-strategy hint, deliberately: at sandbox SF Spark
+    # broadcasts the persisted pages relation (a ~1-2 s/round rebuild
+    # tax), and forcing SHUFFLE_HASH to "reuse" the pages-side
+    # partitioning was measured 2.7x WORSE on the sf0.1 flagship
+    # (162 s vs 60 s) — the 600k-row build side is rebuilt per round
+    # either way and the cached partitioning does not survive into the
+    # AQE-planned join. At the 10^10 design point the lakehouse pages
+    # table is bucketed on url and far past any broadcast threshold,
+    # so the planner lands on the co-partitioned sort-merge join on
+    # its own; the declarative form is right at BOTH scales.
+    joined = admitted.join(page_cols, on="url", how="left")
 
     # per-request mode dispatch (reference schemas.py:85-104, dispatch
     # app/main.py:315-391): preflight classification only runs in
@@ -100,9 +102,14 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     # app/js_fetcher.py:201-202; latency bands README 2-6 s vs 8-12 s):
     # an 'accuracy' request pays the slower pool's surcharge whenever a
     # Selenium render actually happens — js mode, auto-routed
-    # JS_LIGHT(_CONSENT), or an HTTP_THEN_JS second-chance miss. A
-    # BLOCKED bot wall aborts before any render, so no surcharge.
-    renders_js = (
+    # JS_LIGHT(_CONSENT), an HTTP_THEN_JS second-chance miss, or a
+    # BLOCKED bot wall's Selenium refetch (the wall is detected only
+    # AFTER the render attempt, so the render cost is real).
+    blocked_render = (
+        ((F.col("mode") == "auto") & (strategy == "BLOCKED"))
+        | ((F.col("mode") == "js") & F.coalesce(F.col("bot_wall"), F.lit(False)))
+    )
+    renders_selenium = (
         (F.col("mode") == "js")
         | ((F.col("mode") == "auto") & strategy.isin("JS_LIGHT", "JS_LIGHT_CONSENT"))
         | (
@@ -110,13 +117,29 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
             & (strategy == "HTTP_THEN_JS")
             & (route == "selenium")
         )
+        | blocked_render
     )
     accuracy = (
         (F.col("js_strategy") == "accuracy")
         if "js_strategy" in admitted.columns else F.lit(False)
     )
+    # speed->accuracy failure ladder (reference app/js_fetcher.py:
+    # 896-946): a SPEED render that hits the renderer timeout (early
+    # path) or exhausts retries — which a bot wall always does
+    # (:933-946) — escalates ONCE to a fresh accuracy-pool driver.
+    # Deterministic twin: a speed-pool Selenium render whose modeled
+    # latency exceeds js_renderer_cap_ms, or whose strategy is
+    # BLOCKED, pays the one-shot accuracy surcharge and records the
+    # escalation; the per-request timeout then judges the TOTAL cost,
+    # so an escalation can flip a fetch into the 504 retry path.
+    escalated = (
+        renders_selenium
+        & ~accuracy
+        & (blocked_render | (cost > F.lit(cfg.js_renderer_cap_ms)))
+    )
     cost = F.when(
-        renders_js & accuracy, cost + F.lit(cfg.js_accuracy_extra_ms)
+        (renders_selenium & accuracy) | escalated,
+        cost + F.lit(cfg.js_accuracy_extra_ms),
     ).otherwise(cost)
 
     # per-request timeout (reference timeout_ms, schemas.py:116-128): a
@@ -139,6 +162,9 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     return (
         joined.withColumn("strategy", F.when(F.col("page_id").isNotNull(), strategy))
         .withColumn("route", F.when(F.col("page_id").isNotNull(), route))
+        .withColumn(
+            "js_escalated", F.when(F.col("page_id").isNotNull(), escalated)
+        )
         .withColumn("outcome", outcome)
         .withColumn("user_agent", pick_user_agent(F.col("url")))
         .withColumn(

@@ -85,7 +85,7 @@ FRONTIER_COLS = [
 LOG_COLS = [
     "round", "url", "host", "depth", "lineage", "mode", "attempt", "outcome",
     "page_id", "status_code", "final_url", "redirected", "content_type",
-    "strategy", "route", "elapsed_ms", "partition_id",
+    "strategy", "route", "js_escalated", "elapsed_ms", "partition_id",
 ]
 
 # feature columns the convert stage needs from fetched rows
@@ -506,7 +506,14 @@ class CrawlEngine:
             seen_parts = [
                 self._ckpt_seen(self.store.read(self.spark, "seen"), n_seen)
             ]
-            logs = [self.store.read(self.spark, "fetch_log").localCheckpoint()]
+            log0 = self.store.read(self.spark, "fetch_log")
+            if "js_escalated" not in log0.columns:
+                # checkpoint written before the escalation-ladder column
+                # existed — unknown for historic rows
+                log0 = log0.withColumn(
+                    "js_escalated", F.lit(None).cast("boolean")
+                )
+            logs = [log0.localCheckpoint()]
             blobs_present = set(man.get("blobs", []))
             if self.use_bloom:
                 if self.seen_shards > 0 and "seen_shards" in blobs_present:
@@ -582,7 +589,11 @@ class CrawlEngine:
                 )
                 # partition_id comes from the salted live stage itself
                 # (north-rule lineage: which partition did the fetching)
-                fetched = live_decisions(raw, cfg).select(
+                fetched = live_decisions(raw, cfg).withColumn(
+                    # the escalation ladder is a cost-model concept; the
+                    # live httpx transport never renders, so unknown
+                    "js_escalated", F.lit(None).cast("boolean")
+                ).select(
                     *[c for c in keep if c != "status_code"], "payload"
                 )
             else:
@@ -614,7 +625,7 @@ class CrawlEngine:
                 "page_id",
                 F.col("page_status").alias("status_code"),
                 "final_url", "redirected", "content_type", "strategy",
-                "route", "elapsed_ms", "partition_id",
+                "route", "js_escalated", "elapsed_ms", "partition_id",
             )
             blocked_log = blocked.select(
                 F.lit(rnd).alias("round"),
@@ -627,6 +638,7 @@ class CrawlEngine:
                 F.lit(None).cast("string").alias("content_type"),
                 F.lit(None).cast("string").alias("strategy"),
                 F.lit(None).cast("string").alias("route"),
+                F.lit(None).cast("boolean").alias("js_escalated"),
                 F.lit(None).cast("int").alias("elapsed_ms"),
                 F.lit(None).cast("int").alias("partition_id"),
             )
@@ -822,7 +834,11 @@ class CrawlEngine:
             # partitioned base + per-round deltas — no O(total seen)
             # shuffle per round (see filter_unseen_parts)
             unseen = seen_ops.filter_unseen_parts(
-                children, seen_parts, bloom
+                children, seen_parts, bloom,
+                # plain (unpartitioned) small base -> broadcast it; the
+                # partitioned base must NOT be broadcast or its
+                # exchange-free SMJ shape is wasted
+                broadcast_base=not self._seen_partitioned,
             ).localCheckpoint(eager=False)
 
             frontier = (

@@ -375,7 +375,10 @@ def q_fetch_timeout(spark, sf_dir):
         F.lit(0).alias("sched_slot_ms"),
     )
     out = simulated_fetch(frontier, graph.pages(spark), cfg)
-    return out.select("page_id", "mode", "js_strategy", "outcome", "elapsed_ms")
+    return out.select(
+        "page_id", "mode", "js_strategy", "outcome", "js_escalated",
+        "elapsed_ms",
+    )
 
 
 def q_time_budget(spark, sf_dir):

@@ -109,21 +109,36 @@ def _strategy(page: dict, cfg: CrawlConfig) -> str:
 
 def _request_cost_ms(
     mode: str, page: dict, cfg: CrawlConfig, js_strategy: str = "speed"
-) -> int:
+) -> tuple[int, bool]:
     """Modeled request latency (twin of plans/fetch.py's cost column:
     strategy midpoints, second-chance JS surcharge, mode overrides,
-    js_strategy accuracy-pool surcharge on any Selenium render)."""
-    extra = cfg.js_accuracy_extra_ms if js_strategy == "accuracy" else 0
+    js_strategy accuracy-pool surcharge on any Selenium render, and the
+    speed->accuracy failure-ladder escalation, reference
+    app/js_fetcher.py:896-946). Returns (cost_ms, js_escalated)."""
+    accuracy = js_strategy == "accuracy"
     if mode == "fast":
-        return cfg.cost_ms["HTTP_ONLY"]
+        return cfg.cost_ms["HTTP_ONLY"], False
     if mode == "js":
-        return cfg.cost_ms["JS_LIGHT"] + extra
-    s = _strategy(page, cfg)
-    if s == "HTTP_THEN_JS" and page["text_len"] < cfg.second_chance_text_len:
-        return cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"] + extra
-    if s in ("JS_LIGHT", "JS_LIGHT_CONSENT"):
-        return cfg.cost_ms[s] + extra
-    return cfg.cost_ms[s]
+        base = cfg.cost_ms["JS_LIGHT"]
+        renders, blocked = True, bool(page["bot_wall"])
+    else:
+        s = _strategy(page, cfg)
+        blocked = s == "BLOCKED"
+        if s == "HTTP_THEN_JS" and page["text_len"] < cfg.second_chance_text_len:
+            base = cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"]
+            renders = True
+        else:
+            base = cfg.cost_ms[s]
+            # BLOCKED renders (the wall is detected after the Selenium
+            # refetch attempt); PDF/RSS/YOUTUBE/HTTP_ONLY never render
+            renders = s in ("JS_LIGHT", "JS_LIGHT_CONSENT") or blocked
+    escalated = (
+        renders and not accuracy
+        and (blocked or base > cfg.js_renderer_cap_ms)
+    )
+    if (renders and accuracy) or escalated:
+        return base + cfg.js_accuracy_extra_ms, escalated
+    return base, escalated
 
 
 def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
@@ -188,12 +203,12 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
 
             page = pages.get(row["url"])
             if page is None:
-                outcome = "missing"
+                outcome, escalated = "missing", None
             else:
-                timed_out = (
-                    _request_cost_ms(row["mode"], page, cfg, row["js_strategy"])
-                    > cfg.timeout_ms
+                cost, escalated = _request_cost_ms(
+                    row["mode"], page, cfg, row["js_strategy"]
                 )
+                timed_out = cost > cfg.timeout_ms
                 if page["status"] in cfg.retryable_statuses or timed_out:
                     outcome = "retry" if row["attempt"] < cfg.retries else "failed"
                 elif page["status"] >= 400:
@@ -210,6 +225,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                 "js_strategy": row["js_strategy"],
                 "attempt": row["attempt"],
                 "outcome": outcome,
+                "js_escalated": escalated,
             })
 
             if outcome == "retry":

@@ -29,6 +29,22 @@ SIZING_COALESCE_CONF = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
 }
 
+# FAIR scheduling for the PIPELINED scaling shape only: the engine's
+# round loop (pool "loop", weight 2 + minShare) and its background
+# bulk-convert thread (pool "bulk") share task slots instead of
+# FIFO-queueing, bounding the loop's wait behind long convert task
+# sets. NOT a session default: on loop-only shapes (the sf0.1
+# flagship runs no bulk thread) FAIR's per-stage pool accounting was
+# measured ~6-7 s/run slower twice in A/B, with nothing to interleave.
+# The engine tags its pools via setLocalProperty either way; under the
+# default FIFO scheduler the tags are ignored.
+FAIR_SCHEDULER_CONF = {
+    "spark.scheduler.mode": "FAIR",
+    "spark.scheduler.allocation.file": os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml"
+    ),
+}
+
 
 def _default_driver_memory() -> str:
     """Portable default: ~40% of physical RAM, clamped to [4g, 48g].
@@ -77,16 +93,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        # FAIR scheduling so the engine's round loop and its background
-        # bulk-convert thread share task slots instead of FIFO-queueing
-        # (pools defined in fairscheduler.xml; jobs outside the engine
-        # run in the default pool and see plain FIFO as before)
-        .config("spark.scheduler.mode", "FAIR")
-        .config(
-            "spark.scheduler.allocation.file",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "fairscheduler.xml"),
-        )
         # crawl frontiers produce many small iterative stages; keep the
         # shuffle service lean and deterministic
         .config("spark.sql.files.maxPartitionBytes", "128m")
