@@ -73,11 +73,27 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         http_only_text_len=cfg.http_only_text_len,
         js_light_thin_text_len=cfg.js_light_thin_text_len,
     )
-    strategy = F.when(F.col("mode") == "auto", strategy_raw)
-    route = route_fetch(
-        F.col("mode"), strategy, F.col("text_len"),
-        second_chance_text_len=cfg.second_chance_text_len,
+    # The strategy/route/cost expressions reference each other many
+    # times; materializing each tier as a REAL column forces Catalyst
+    # to keep the projections separate (CollapseProject refuses to
+    # duplicate non-cheap expressions), so whole-stage codegen emits
+    # every CASE chain exactly once. Inlining them instead grew the
+    # generated processNext() past the JVM's 64 KB method limit — the
+    # fetch stage then silently fell back to interpreted eval on every
+    # round (10 "Failed to compile: Code grows beyond 64 KB" per
+    # flagship run before this split).
+    joined = joined.withColumn(
+        "strategy", F.when(F.col("mode") == "auto", strategy_raw)
     )
+    strategy = F.col("strategy")
+    joined = joined.withColumn(
+        "route",
+        route_fetch(
+            F.col("mode"), strategy, F.col("text_len"),
+            second_chance_text_len=cfg.second_chance_text_len,
+        ),
+    )
+    route = F.col("route")
 
     # cost model: strategy latency midpoints (README.md:223,362-363) +
     # the politeness slot offset; replaces wall-clock with a
@@ -98,6 +114,8 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         .when(F.col("mode") == "js", F.lit(cfg.cost_ms["JS_LIGHT"]))
         .otherwise(cost)
     )
+    joined = joined.withColumn("_base_cost", cost)
+    cost = F.col("_base_cost")
     # js_strategy (reference speed/accuracy Selenium pools,
     # app/js_fetcher.py:201-202; latency bands README 2-6 s vs 8-12 s):
     # an 'accuracy' request pays the slower pool's surcharge whenever a
@@ -132,15 +150,21 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     # BLOCKED, pays the one-shot accuracy surcharge and records the
     # escalation; the per-request timeout then judges the TOTAL cost,
     # so an escalation can flip a fetch into the 504 retry path.
-    escalated = (
+    joined = joined.withColumn(
+        "_escalated",
         renders_selenium
         & ~accuracy
-        & (blocked_render | (cost > F.lit(cfg.js_renderer_cap_ms)))
+        & (blocked_render | (cost > F.lit(cfg.js_renderer_cap_ms))),
     )
-    cost = F.when(
-        (renders_selenium & accuracy) | escalated,
-        cost + F.lit(cfg.js_accuracy_extra_ms),
-    ).otherwise(cost)
+    escalated = F.col("_escalated")
+    joined = joined.withColumn(
+        "_cost",
+        F.when(
+            (renders_selenium & accuracy) | escalated,
+            cost + F.lit(cfg.js_accuracy_extra_ms),
+        ).otherwise(cost),
+    )
+    cost = F.col("_cost")
 
     # per-request timeout (reference timeout_ms, schemas.py:116-128): a
     # request whose modeled latency exceeds the cap aborts — the 504
@@ -165,6 +189,7 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         .withColumn(
             "js_escalated", F.when(F.col("page_id").isNotNull(), escalated)
         )
+        .drop("_base_cost", "_escalated")
         .withColumn("outcome", outcome)
         .withColumn("user_agent", pick_user_agent(F.col("url")))
         .withColumn(
@@ -178,6 +203,7 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
             "elapsed_ms",
             (F.coalesce(cost, F.lit(0)) + F.coalesce(F.col("sched_slot_ms"), F.lit(0))).cast("int"),
         )
+        .drop("_cost")
     )
 
 
