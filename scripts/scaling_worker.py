@@ -137,6 +137,7 @@ def main() -> None:
     n = JOBS[job](spark, sf_dir, cores, mirrors, scale)
     wall = time.time() - t0
     print(json.dumps({
+        "label": os.environ.get("SPARK_GRAFT_LABEL", ""),
         "cores": cores,
         "job": job,
         "mirrors": mirrors,
@@ -145,6 +146,12 @@ def main() -> None:
         "rows": n,
         "rate": round(n / wall, 1),
         "round_walls": _LAST_ROUND_WALLS,
+        "loadavg_after": round(os.getloadavg()[0], 2),
+        "conf": extra,
+        "env": {
+            k: v for k, v in os.environ.items()
+            if k.startswith("SPARK_GRAFT_") and k != "SPARK_GRAFT_LABEL"
+        },
     }))
     spark.stop()
 
