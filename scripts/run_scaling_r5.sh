@@ -11,6 +11,7 @@ set -u
 cd /root/repo
 OUT=BENCH_RUNS_r5.jsonl
 SF=/root/testdata/sf0.1
+START=${1:-1}   # first phase to run (resume support)
 
 run_flag() { # label
   SPARK_GRAFT_LABEL="$1" python scripts/flagship_once.py "$SF" 32 "$1" 2>/dev/null >> "$OUT"
@@ -21,14 +22,19 @@ run_sc() { # label cores mirrors extra-env...
     python scripts/scaling_worker.py "$SF" "$cores" engine "$mirrors" 32 2>/dev/null >> "$OUT"
 }
 
+if [ "$START" -le 1 ]; then
 echo "== phase 1: flagship reps" >&2
 run_flag flagship-r5-rep1
 run_flag flagship-r5-rep2
+fi
 
+if [ "$START" -le 2 ]; then
 echo "== phase 2: convert-off isolation m64" >&2
 run_sc conv-off-32 32 64 SPARK_GRAFT_CONVERT=0
 run_sc conv-off-8   8 64 SPARK_GRAFT_CONVERT=0
+fi
 
+if [ "$START" -le 3 ]; then
 echo "== phase 3: AQE 4-config sweep, 32 cores, convert-off m64" >&2
 # (a) width-maximizing default (parallelismFirst=true) — overrides the
 #     sizing conf scaling_worker applies at mirrors>=8
@@ -43,10 +49,15 @@ run_sc sweep-shuffle8 32 64 SPARK_GRAFT_CONVERT=0 SPARK_GRAFT_SHUFFLE=8 \
 # (d) sizing-based coalescing (the scaling-path default)
 run_sc sweep-sizing 32 64 SPARK_GRAFT_CONVERT=0
 
+fi
+
+if [ "$START" -le 4 ]; then
 echo "== phase 4: convert-ON pairing, alternating 8/32" >&2
 run_sc pair-8-rep1  8 64
 run_sc pair-32-rep1 32 64
 run_sc pair-8-rep2  8 64
 run_sc pair-32-rep2 32 64
+
+fi
 
 echo "== campaign done" >&2

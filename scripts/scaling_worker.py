@@ -113,16 +113,19 @@ def main() -> None:
         if "=" in kv
     )
     if mirrors >= 8:
-        # high-volume shape -> sizing-based AQE coalescing + FAIR pools
-        # for the loop/bulk split (scoped here, not session defaults;
-        # round-4 verdict #2/#3). SPARK_GRAFT_CONF still wins for A/B
-        # sweeps.
+        # high-volume shape -> sizing-based AQE coalescing (round-4
+        # verdict #2); FAIR pools only when a bulk-convert thread will
+        # actually exist to interleave with (verdict #3) — on loop-only
+        # shapes FAIR is pure scheduling overhead. SPARK_GRAFT_CONF
+        # still wins for A/B sweeps.
         from volltextextraktion_selenium_md_spark.session import (
             FAIR_SCHEDULER_CONF,
             SIZING_COALESCE_CONF,
         )
 
-        extra = {**SIZING_COALESCE_CONF, **FAIR_SCHEDULER_CONF, **extra}
+        extra = {**SIZING_COALESCE_CONF, **extra}
+        if job == "engine" and os.environ.get("SPARK_GRAFT_CONVERT", "1") == "1":
+            extra = {**FAIR_SCHEDULER_CONF, **extra}
     spark = get_spark(
         app_name=f"scaling-{job}-{cores}",
         master=f"local[{cores}]",

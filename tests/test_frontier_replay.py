@@ -145,9 +145,12 @@ def test_live_fetch_mode_engine_replay_match(spark):
     the SAME deterministic graph as minted HTML-with-anchors) inside the
     engine loop — robots, budget, slots, seen-set, status retries and
     ordering are shared code; children come from payload link
-    extraction. The fetch_log must match the golden replay row for row
-    (live has no page table, so replay's 'missing' is live's terminal
-    'failed' — the only mapped difference)."""
+    extraction. The fetch_log must match the golden replay row for row.
+    Two mapped differences, both because live has no page table:
+    replay's 'missing' is live's terminal 'failed', and replay's
+    modeled js_escalated is live's NULL (the live transport never
+    renders, so the speed->accuracy ladder outcome is unknowable —
+    plans/frontier.py documents the divergence at the live branch)."""
     from volltextextraktion_selenium_md_spark.replay import _load_graph
 
     cfg = CrawlConfig()
@@ -181,7 +184,9 @@ def test_live_fetch_mode_engine_replay_match(spark):
     got = _spark_order(res)
     want = [
         tuple(
-            ("failed" if (k == "outcome" and g[k] == "missing") else g[k])
+            "failed" if (k == "outcome" and g[k] == "missing")
+            else None if k == "js_escalated"
+            else g[k]
             for k in KEY
         )
         for g in rep.crawl_order

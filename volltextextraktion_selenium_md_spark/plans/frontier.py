@@ -293,16 +293,18 @@ class CrawlEngine:
             spark.conf.get("spark.sql.shuffle.partitions")
         )
         # volume-adaptive seen set (round-4 verdict #1): below this many
-        # seen rows the base is a PLAIN checkpoint and the anti-join is
-        # a normal (AQE-broadcast) join — the eager repartition+sort
-        # machinery of the partitioned base costs more than it saves at
-        # small rounds. Once the seen estimate crosses the threshold the
-        # engine promotes (monotonically) to the partitioned base whose
+        # seen rows the base is a PLAIN checkpoint and the anti-join
+        # BROADCASTS it — the eager repartition+sort machinery of the
+        # partitioned base costs more than it saves at small rounds.
+        # Once the seen estimate crosses the threshold the engine
+        # promotes (monotonically) to the partitioned base whose
         # per-round shuffle is O(round delta), never O(total seen).
-        # 1M urls ≈ 100 MB of (url, h1, h2) — past broadcast range.
+        # 200k urls ≈ 20 MB of (url, h1, h2) — a comfortable per-round
+        # broadcast; past that the partitioned/exchange-free layout
+        # wins (r4 measured it at 204 s for the conv-off m64 loop).
         if seen_partitioned_min_rows is None:
             seen_partitioned_min_rows = int(
-                os.environ.get("SPARK_GRAFT_SEEN_PARTITIONED_MIN", "1000000")
+                os.environ.get("SPARK_GRAFT_SEEN_PARTITIONED_MIN", "200000")
             )
         self.seen_partitioned_min_rows = seen_partitioned_min_rows
         self._seen_partitioned = False
@@ -837,8 +839,17 @@ class CrawlEngine:
                 children, seen_parts, bloom,
                 # plain (unpartitioned) small base -> broadcast it; the
                 # partitioned base must NOT be broadcast or its
-                # exchange-free SMJ shape is wasted
-                broadcast_base=not self._seen_partitioned,
+                # exchange-free SMJ shape is wasted. Gated on the LIVE
+                # seen estimate, not just the promotion flag: promotion
+                # happens at compaction time (every seen_compact_every
+                # rounds), and without the n_seen gate the rounds in
+                # between were broadcasting a million-row base — the
+                # explicit hint overrides every size threshold
+                # (measured: conv-off m64 32c 421 s vs 204 s in r4).
+                broadcast_base=(
+                    not self._seen_partitioned
+                    and n_seen <= self.seen_partitioned_min_rows
+                ),
             ).localCheckpoint(eager=False)
 
             frontier = (
@@ -848,7 +859,15 @@ class CrawlEngine:
                 .localCheckpoint(eager=False)
             )
             seen_parts.append(unseen.select("url", "h1", "h2"))
-            if (rnd + 1) % self.seen_compact_every == 0:
+            # promote the moment the estimate crosses the threshold —
+            # waiting for the scheduled compaction round left 2-3
+            # rounds anti-joining a plain (stats-less, unbroadcastable)
+            # base through a full two-sided sort-merge
+            promote_now = (
+                not self._seen_partitioned
+                and n_seen >= self.seen_partitioned_min_rows
+            )
+            if promote_now or (rnd + 1) % self.seen_compact_every == 0:
                 # periodic compaction folds the deltas back into ONE
                 # partitioned+sorted base (at 10^10 scale this is the
                 # lakehouse seen-table MERGE; locally a checkpoint
