@@ -272,3 +272,25 @@ def test_lazy_fetch_checkpoint_still_exact(spark):
     res = CrawlEngine(spark, SF_SMALL, cfg, eager_fetch_checkpoint=False).run()
     assert _spark_order(res) == _gold_order(rep)
     assert {r["url"] for r in res.seen.collect()} == rep.seen
+
+
+@pytest.mark.parametrize("min_rows", [1, 60])
+def test_partitioned_seen_base_still_exact(spark, min_rows):
+    """The volume-adaptive seen set has two layouts: a plain broadcast
+    base below ``seen_partitioned_min_rows`` and the hash-partitioned +
+    sorted exchange-free base above it (the 10^10-scale layout). The
+    default threshold (200k) means small-graph tests only ever exercise
+    the plain path — this test forces promotion so BOTH layouts and the
+    mid-crawl plain->partitioned handover are proven replay-exact:
+    min_rows=1 promotes at round 0, min_rows=60 promotes mid-crawl
+    (round 0 of the small graph seeds ~40 URLs)."""
+    cfg = CrawlConfig()
+    rep = replay_crawl(SF_SMALL, cfg)
+    eng = CrawlEngine(
+        spark, SF_SMALL, cfg, seen_partitioned_min_rows=min_rows
+    )
+    res = eng.run()
+    # promotion actually happened — otherwise this test proves nothing
+    assert eng._seen_partitioned
+    assert _spark_order(res) == _gold_order(rep)
+    assert {r["url"] for r in res.seen.collect()} == rep.seen
