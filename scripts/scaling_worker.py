@@ -113,17 +113,27 @@ def main() -> None:
         if "=" in kv
     )
     if mirrors >= 8:
-        # high-volume shape -> sizing-based AQE coalescing (round-4
-        # verdict #2); FAIR pools only when a bulk-convert thread will
-        # actually exist to interleave with (verdict #3) — on loop-only
-        # shapes FAIR is pure scheduling overhead. SPARK_GRAFT_CONF
-        # still wins for A/B sweeps.
+        # High-volume conf, per job shape. ENGINE runs: the engine's
+        # volume-adaptive round width (CrawlEngine._set_round_width)
+        # already plans each round at a volume-proportional width, so
+        # the session keeps the width-preserving AQE defaults — the
+        # sizing conf (64m advisory) on top of a narrowed round width
+        # collapses loop stages to a single task (measured r5:
+        # convoff-adaptive-sizing 320.4 s vs convoff-adaptive-pf
+        # 210.8/207.6 s, BENCH_RUNS_r5.jsonl). The standalone convert/
+        # frontier KERNELS keep sizing-based coalescing (round-4
+        # measurement: their one wide mapInPandas/shuffle pass is
+        # volume-bound, not latency-bound). FAIR pools only when a
+        # bulk-convert thread will actually exist to interleave with
+        # (verdict #3) — on loop-only shapes FAIR is pure scheduling
+        # overhead. SPARK_GRAFT_CONF still wins for A/B sweeps.
         from volltextextraktion_selenium_md_spark.session import (
             FAIR_SCHEDULER_CONF,
             SIZING_COALESCE_CONF,
         )
 
-        extra = {**SIZING_COALESCE_CONF, **extra}
+        if job != "engine":
+            extra = {**SIZING_COALESCE_CONF, **extra}
         if job == "engine" and os.environ.get("SPARK_GRAFT_CONVERT", "1") == "1":
             extra = {**FAIR_SCHEDULER_CONF, **extra}
     spark = get_spark(

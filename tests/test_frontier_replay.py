@@ -294,3 +294,23 @@ def test_partitioned_seen_base_still_exact(spark, min_rows):
     assert eng._seen_partitioned
     assert _spark_order(res) == _gold_order(rep)
     assert {r["url"] for r in res.seen.collect()} == rep.seen
+
+
+def test_adaptive_shuffle_width_exact_and_conf_restored(spark):
+    """The per-round adaptive shuffle width is a pure perf knob: the
+    crawl ordering and seen set must be identical at BOTH extremes
+    (rows_per_task=1 pins every round to the session ceiling;
+    rows_per_task huge pins every round to the floor of 8), and the
+    engine must hand the session conf back at its original width even
+    though rounds mutated it."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    cfg = CrawlConfig()
+    rep = replay_crawl(SF_SMALL, cfg)
+    for rows_per_task in (1, 10_000_000):
+        eng = CrawlEngine(
+            spark, SF_SMALL, cfg, shuffle_rows_per_task=rows_per_task
+        )
+        res = eng.run()
+        assert _spark_order(res) == _gold_order(rep)
+        assert {r["url"] for r in res.seen.collect()} == rep.seen
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -215,6 +215,8 @@ class CrawlEngine:
         transport_factory=None,
         overlap_convert: bool = True,
         seen_partitioned_min_rows: int | None = None,
+        adaptive_shuffle_width: bool | None = None,
+        shuffle_rows_per_task: int | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -318,6 +320,41 @@ class CrawlEngine:
         # planned inside the toggle window would silently run without
         # AQE. The bulk worker holds the lock while planning/running.
         self._conf_lock = threading.Lock()
+        # Volume-adaptive shuffle width (round-4 verdict #2 "shape-
+        # adaptive, not static"): each round plans its shuffles at
+        #   clamp(8, ceil(n_frontier / shuffle_rows_per_task), session)
+        # so the session width stays the CEILING (on a real cluster:
+        # thousands, set via spark-submit) while small rounds — a real
+        # crawl's first and last rounds are always small, and the whole
+        # sandbox flagship is — stop paying per-task scheduling latency
+        # for near-empty tasks. Measured basis (BENCH_RUNS_r5.jsonl,
+        # interleaved A/B on the conv-off mirrors=64 loop, 32 cores):
+        # adaptive width + width-preserving AQE 207.6-222.5 s vs the
+        # sizing-conf configs 229-436 s, and it beat a static session
+        # width of 8 in both interleaved control pairs — the loop's
+        # barrier stages are task-latency-bound, not throughput-bound,
+        # at sandbox volumes. NOTE the conf interplay: a 64 MB AQE
+        # advisory on top of a narrowed round width collapses stages to
+        # a single task (measured 320.4 s) — adaptive width REPLACES
+        # sizing-based coalescing, it must not run under it.
+        # Only the per-round
+        # session conf moves: the cached pages/links sides, the
+        # partitioned seen base, and the convert width all keep their
+        # explicit num_partitions, so the exchange-free layouts are
+        # untouched. At 10^10-URL rounds n_frontier/rows_per_task
+        # exceeds any cluster width and this is a no-op (= ceiling).
+        if adaptive_shuffle_width is None:
+            adaptive_shuffle_width = (
+                os.environ.get("SPARK_GRAFT_ADAPTIVE_WIDTH", "1") != "0"
+            )
+        self.adaptive_shuffle_width = adaptive_shuffle_width
+        self.shuffle_rows_per_task = shuffle_rows_per_task or int(
+            os.environ.get("SPARK_GRAFT_ROWS_PER_TASK", "50000")
+        )
+        self._session_width = int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        self._round_width = self._session_width
         graph.register_graph_views(spark, sf_dir)
         self.pages = graph.pages(spark)
         self.robots = graph.robots(spark)
@@ -409,6 +446,35 @@ class CrawlEngine:
             return self._ckpt_partitioned(df, blocking=blocking)
         return df.localCheckpoint()
 
+    def _set_round_width(self, n_frontier: int) -> None:
+        """Set ``spark.sql.shuffle.partitions`` for THIS round's plans
+        from the round's live frontier size (see ctor comment). The
+        session value is the ceiling; the floor of 8 keeps a little
+        parallelism and tail tolerance in near-empty rounds. Width is a
+        pure perf knob — crawl ordering and the seen set are width-
+        independent (replay tests run both extremes) — so if the bulk-
+        convert thread holds the conf lock mid-plan we simply skip the
+        change this round rather than stall the loop or yank the conf
+        out from under a job being planned."""
+        if not self.adaptive_shuffle_width:
+            return
+        want = min(
+            self._session_width,
+            max(
+                min(8, self._session_width),
+                -(-n_frontier // self.shuffle_rows_per_task),
+            ),
+        )
+        if want == self._round_width:
+            return
+        if not self._conf_lock.acquire(blocking=False):
+            return
+        try:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(want))
+            self._round_width = want
+        finally:
+            self._conf_lock.release()
+
     @staticmethod
     def _union_parts(parts: list[DataFrame]) -> DataFrame:
         out = parts[0]
@@ -431,6 +497,14 @@ class CrawlEngine:
             return self._run_impl()
         finally:
             sc.setLocalProperty("spark.scheduler.pool", prev_pool)
+            # leave the session conf as we found it (the adaptive round
+            # width is engine-internal; callers and later queries plan
+            # at the session width)
+            if self._round_width != self._session_width:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(self._session_width)
+                )
+                self._round_width = self._session_width
             # error-path cleanup: if the round loop or a drain raised,
             # cancel queued bulk-convert jobs and close the pool so no
             # non-daemon worker keeps submitting Spark jobs against a
@@ -554,6 +628,9 @@ class CrawlEngine:
         round_walls: list[float] = []
         while rnd < cfg.max_rounds and n_frontier > 0:
             _t_round = _time.time()
+            # plan this round's shuffles at a width the round's volume
+            # justifies (session width stays the ceiling)
+            self._set_round_width(n_frontier)
             allowed, blocked = robots_split(frontier, self.robots)
             admitted, deferred = host_budget_split(allowed, cfg.host_budget_per_round)
             admitted = schedule_slots(admitted, cfg.default_crawl_delay_ms)
