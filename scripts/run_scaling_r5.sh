@@ -60,4 +60,21 @@ run_sc pair-32-rep2 32 64
 
 fi
 
+if [ "$START" -le 5 ]; then
+echo "== phase 5: 2->8 pairing at HEAD, web-realistic payloads" >&2
+# Round-3's headline north-rule config (mirrors=8, payload_scale=64,
+# convert ON) re-run on the round-5 engine: the 0.805 standing evidence
+# predates the base+delta seen set, adaptive round width and FAIR-scoped
+# pools, so the 2->8 criterion needs a fresh measurement at HEAD.
+run_sc64() { # label cores
+  env SPARK_GRAFT_LABEL="$1" \
+    python scripts/scaling_worker.py "$SF" "$2" engine 8 64 2>/dev/null >> "$OUT"
+}
+run_sc64 pair2-2-rep1 2
+run_sc64 pair2-8-rep1 8
+run_sc64 pair2-2-rep2 2
+run_sc64 pair2-8-rep2 8
+
+fi
+
 echo "== campaign done" >&2

@@ -55,8 +55,10 @@ def md5_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingle set per document: (doc_id, shingle) distinct.
+def shingles(documents: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
+    """Word n-gram shingle set per document: (doc_id, shingle) distinct,
+    or (doc_id, h) with ``hashed=True`` (h = ``md5_hash60`` of the
+    shingle, deduplicated after hashing — see inline note).
 
     Built natively: split -> slide via transform over index array ->
     explode. No Python."""
@@ -71,10 +73,18 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return (
-        documents.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    ex = documents.select("doc_id", F.explode(grams).alias("shingle"))
+    if hashed:
+        # hash BEFORE the distinct: the dedup shuffle and every
+        # downstream join/groupBy then move 8-byte longs instead of
+        # ~3-word strings. Per doc, {hash(s) for s in distinct strings}
+        # == {h for h in distinct hashes}, so MinHash minima are
+        # bit-identical and Jaccard over hash sets differs from the
+        # string-set value only on a 60-bit collision; the DuckDB
+        # oracle applies the same md5-derived hash, so engine and
+        # oracle stay hash-equal regardless.
+        return ex.select("doc_id", md5_hash60(F.col("shingle")).alias("h")).distinct()
+    return ex.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -87,15 +97,18 @@ def ngram_jaccard_pairs(
     giant near-dup clusters; at 100 TB run `minhash_lsh_pairs` /
     `minhash_lsh_clusters` and sample-verify with this operator.
 
-    intersection via shingle self-join (shuffle key = shingle — high
-    cardinality, well distributed); union = |A|+|B|-|A∩B|.
+    intersection via shingle self-join on the 60-bit shingle hash
+    (shuffle key = hash — high cardinality, well distributed, and 8-byte
+    join keys instead of ~3-word strings); union = |A|+|B|-|A∩B|.
+    "Exact" up to a 60-bit hash collision (P < 1e-9 per corpus at
+    verification scale); the oracle applies the identical hash.
     """
-    sh = shingles(documents, n)
+    sh = shingles(documents, n, hashed=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, F.col("a.h") == F.col("b.h"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
@@ -146,7 +159,7 @@ def minhash_signatures(
 
     One groupBy computes all H minima (map-side partial agg -> tiny
     shuffle: H longs per doc)."""
-    sh = shingles(documents, n).withColumn("h", md5_hash60(F.col("shingle")))
+    sh = shingles(documents, n, hashed=True)
     aggs = [
         F.min((F.col("h") % MINHASH_PRIME * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_params(num_hashes))

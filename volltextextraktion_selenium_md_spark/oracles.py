@@ -69,11 +69,18 @@ SELECT url, host, depth, lineage FROM (
 _HEX15 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 _TOKS = "str_split_regex(lower(trim(text)), '\\s+')"
-SHINGLES = f"""
-SELECT DISTINCT doc_id,
-  unnest(list_transform(range(1, greatest(len(a)-1, 1)),
-                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
-FROM (SELECT doc_id, {_TOKS} AS a FROM documents)
+# hashed shingle set, deduplicated AFTER hashing — mirrors the engine's
+# shingles(hashed=True) exactly (operators/dedup.py): per doc the hash
+# SET equals hashing the distinct strings, so MinHash minima are
+# bit-identical and Jaccard matches up to a 60-bit collision
+SHINGLE_H = f"""
+SELECT DISTINCT doc_id, {_HEX15.format(x="shingle")} AS h
+FROM (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(a)-1, 1)),
+                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS a FROM documents)
+)
 """
 
 
@@ -800,11 +807,11 @@ FROM scored s JOIN toks t ON s.doc_id = t.doc_id
 
 def sql_ngram_jaccard() -> str:
     return f"""
-WITH sh AS ({SHINGLES}),
+WITH sh AS ({SHINGLE_H}),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -819,16 +826,15 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter),
 
 
 def _minhash_aggs() -> list[str]:
-    h = _HEX15.format(x="shingle")
     return [
-        f"min(({h} % {MINHASH_PRIME} * {a} + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        f"min((h % {MINHASH_PRIME} * {a} + {b}) % {MINHASH_PRIME}) AS mh_{i}"
         for i, (a, b) in enumerate(_perm_params(Q.MINHASH_H))
     ]
 
 
 def sql_minhash_signatures() -> str:
     return f"""
-WITH sh AS ({SHINGLES})
+WITH sh AS ({SHINGLE_H})
 SELECT doc_id, {", ".join(_minhash_aggs())}
 FROM sh GROUP BY doc_id
 """
@@ -846,7 +852,7 @@ def sql_minhash_lsh_pairs() -> str:
         f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(Q.MINHASH_H)
     )
     return f"""
-WITH sh AS ({SHINGLES}),
+WITH sh AS ({SHINGLE_H}),
 sig AS (SELECT doc_id, {", ".join(_minhash_aggs())} FROM sh GROUP BY doc_id),
 banded AS ({bands}),
 capped AS (
@@ -882,7 +888,7 @@ def sql_minhash_lsh_clusters() -> str:
         for b in range(Q.MINHASH_BANDS)
     )
     return f"""
-WITH RECURSIVE sh AS ({SHINGLES}),
+WITH RECURSIVE sh AS ({SHINGLE_H}),
 sig AS (SELECT doc_id, {", ".join(_minhash_aggs())} FROM sh GROUP BY doc_id),
 banded AS ({bands}),
 roots AS (SELECT band, bucket, min(doc_id) AS dst FROM banded GROUP BY 1, 2),
