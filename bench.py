@@ -52,8 +52,20 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     spark = get_spark(app_name="bench")
 
-    # warm-up: JVM/Arrow/codegen init on a trivial action
-    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    # warm-up: JVM/codegen/Arrow init on the ACTUAL engine code paths —
+    # a 2-round crawl at the smallest SF compiles every generated class
+    # (windows, joins, pandas UDF plumbing) before the measured flagship,
+    # so the suite measures steady-state throughput, not first-job JIT
+    # (same methodology as scripts/flagship_once.py; warm-up time is
+    # excluded from every reported timing)
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
+        CrawlEngine(
+            spark, warm_dir, cfg=CrawlConfig(max_rounds=2),
+            collect_round_counts=False,
+        ).run().fetch_log.count()
+    else:
+        spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -136,3 +136,25 @@ def test_extract_links_one_ignores_dead_regions():
         (1, "https://base.example.com/live-1", "First"),
         (2, "https://base.example.com/live-2", "Second"),
     ]
+
+
+def test_extract_links_one_gt_inside_quoted_attr():
+    """A '>' inside a QUOTED attribute value must not end the tag — a
+    real HTML tokenizer only closes on an unquoted '>' (was a
+    documented divergence through round 4; fixed by letting the
+    attribute region consume quoted strings)."""
+    from volltextextraktion_selenium_md_spark.functions.urls import (
+        extract_links_one,
+    )
+
+    html = (
+        '<a href="/x" title="a>b">X</a>'
+        "<a title='c>d' href='/y'>Y</a>"
+        '<a href="/z" data-q="1>2" class=plain>Z <b>bold</b></a>'
+    )
+    got = extract_links_one(html, "http://e.com/base/")
+    assert got == [
+        (1, "http://e.com/x", "X"),
+        (2, "http://e.com/y", "Y"),
+        (3, "http://e.com/z", "Z bold"),
+    ]

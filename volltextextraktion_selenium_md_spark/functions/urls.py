@@ -98,17 +98,18 @@ def extract_links_one(html: str, base_url: str) -> list[tuple[int, str, str | No
     Script/style/comment regions are stripped FIRST (round-3 ADVICE):
     BS4 treats their contents as raw text, so an ``<a href>`` literal
     inside ``<script>``, ``<style>``, or ``<!-- -->`` is NOT a live
-    link and must not feed the frontier. Documented remaining
-    divergence from a real HTML parser: an anchor whose quoted
-    attribute value contains ``>`` (e.g. ``title="a>b"``) is mis-split
-    by the tag regex — pathological markup the synthetic corpus and
-    the oracle both exclude."""
+    link and must not feed the frontier. The attribute region accepts
+    quoted strings containing ``>`` (``title="a>b"``) — matching how a
+    real HTML tokenizer only ends the tag on an unquoted ``>``."""
     global _A_TAG_RE
     import re
 
     if _A_TAG_RE is None:
         _A_TAG_RE = (
-            re.compile(r"<a\b([^>]*)>(.*?)</a\s*>", re.S | re.I),
+            re.compile(
+                r"""<a\b((?:[^>"']|"[^"]*"|'[^']*')*)>(.*?)</a\s*>""",
+                re.S | re.I,
+            ),
             re.compile(r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I),
             re.compile(r"<[^>]+>"),
             re.compile(
