@@ -683,6 +683,9 @@ class CrawlEngine:
                     # carried the row through the fetch stage
                     .withColumn("partition_id", F.spark_partition_id())
                 )
+            if os.environ.get("SPARK_GRAFT_ROUND_PROFILE"):
+                # driver-side DataFrame construction up to the fetch plan
+                print(f"[round {rnd}] build_fetch {_time.time() - _t_round:.2f}s")
             if self.eager_fetch_checkpoint:
                 _t_f = _time.time()
                 if os.environ.get("SPARK_GRAFT_EXPLAIN_ROUND") == str(rnd):
@@ -697,6 +700,7 @@ class CrawlEngine:
                 # reads the stored partitions — one Spark job per round
                 # instead of two, no recompute
                 fetched = fetched.localCheckpoint(eager=False)
+            _t_f2 = _time.time()
 
             log = fetched.select(
                 F.lit(rnd).alias("round"),
@@ -966,7 +970,8 @@ class CrawlEngine:
             _t_c = _time.time()
             n_frontier = frontier.count()
             if os.environ.get("SPARK_GRAFT_ROUND_PROFILE"):
-                print(f"[round {rnd}] frontier_count {_time.time() - _t_c:.2f}s"
+                print(f"[round {rnd}] build_next {_t_c - _t_f2:.2f}s"
+                      f" frontier_count {_time.time() - _t_c:.2f}s"
                       f" n={n_frontier}")
 
             committing = (
