@@ -314,3 +314,33 @@ def test_adaptive_shuffle_width_exact_and_conf_restored(spark):
         assert _spark_order(res) == _gold_order(rep)
         assert {r["url"] for r in res.seen.collect()} == rep.seen
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_per_request_timeout_override_steers_outcomes(spark):
+    """Per-request timeout_ms (reference schemas.py:116-128, NULL = use
+    the global setting): seeds with seed_idx % 7 == 3 carry a 5000 ms
+    override (graph g_seeds), so under a global timeout_ms=100 their
+    whole lineage keeps fetching JS renders that time out everywhere
+    else — and the engine still matches the golden replay exactly."""
+    cfg = CrawlConfig(timeout_ms=100, max_rounds=20)
+    rep = replay_crawl(SF_SMALL, cfg)
+    res = CrawlEngine(spark, SF_SMALL, cfg).run()
+    assert _spark_order(res) == _gold_order(rep)
+    assert {r["url"] for r in res.seen.collect()} == rep.seen
+
+    def overridden(row):
+        return int(row["lineage"].split(".")[0]) % 7 == 3
+
+    # non-vacuous in BOTH directions: an override-lineage JS render
+    # fetched (its cost would exceed the global 100 ms cap), while the
+    # same-shape non-override rows timed out into retry/failed
+    js_rows = [g for g in rep.crawl_order if g["mode"] in ("js", "auto")]
+    assert any(
+        overridden(g) and g["outcome"] == "fetched" for g in js_rows
+    )
+    assert any(
+        not overridden(g) and g["outcome"] in ("retry", "failed")
+        for g in js_rows
+    )
+    # (no "override rows never fail" assertion: retryable HTTP statuses
+    # legitimately retry regardless of the timeout override)

@@ -333,3 +333,37 @@ def test_ivf_recall_at_nprobe(spark):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_convert_per_request_max_bytes_column(spark):
+    """Per-request max_bytes (reference schemas.py:156-170, NULL = use
+    cfg.max_bytes): a max_bytes column on the convert input caps THAT
+    row's payload before conversion — rows with a tight cap truncate,
+    NULL rows coalesce to the config default and come out whole."""
+    from volltextextraktion_selenium_md_spark.plans.convert import convert_stage
+
+    rows = [
+        ("u1", 100, "text/html; charset=utf-8", 600, True,
+         False, False, False, False, False, 64),
+        ("u2", 101, "text/html; charset=utf-8", 600, True,
+         False, False, False, False, False, None),
+        ("u3", 102, "text/html; charset=utf-8", 600, True,
+         False, False, False, False, False, 64),
+    ]
+    cols = ["url", "page_id", "content_type", "text_len", "has_main",
+            "spa_mark", "js_required", "consent", "bot_wall", "rss_link"]
+    schema = (
+        "url string, page_id long, content_type string, text_len int, "
+        "has_main boolean, spa_mark boolean, js_required boolean, "
+        "consent boolean, bot_wall boolean, rss_link boolean, "
+        "max_bytes int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {r["page_id"]: r for r in convert_stage(df).collect()}
+    assert got[100]["truncated"] and got[102]["truncated"]
+    assert not got[101]["truncated"]
+    # the capped rows converted only the first 64 payload bytes
+    assert got[100]["markdown_length"] < got[101]["markdown_length"]
+    # and dropping the column entirely keeps the old config-only path
+    clean = {r["page_id"]: r for r in convert_stage(df.select(*cols)).collect()}
+    assert not any(r["truncated"] for r in clean.values())

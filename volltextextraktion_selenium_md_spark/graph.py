@@ -135,7 +135,13 @@ SELECT
     WHEN 1 THEN 'js'
     ELSE 'auto' END AS mode,
   CASE WHEN s.seed_idx % 4 = 2 THEN 'accuracy' ELSE 'speed' END AS js_strategy,
-  s.seed_idx % 3 = 1 AS llm_anonymize
+  s.seed_idx % 3 = 1 AS llm_anonymize,
+  -- per-request timeout override (reference schemas.py:116-128; NULL =
+  -- use the global config). 5000 ms never trips the <=330 ms modeled
+  -- costs, so crawl-ordering oracles are unaffected; outcome-flipping
+  -- values are exercised by the fetch_timeout oracle and replay tests
+  CASE WHEN s.seed_idx % 7 = 3 THEN CAST(5000 AS INT)
+       ELSE CAST(NULL AS INT) END AS timeout_ms
 FROM (
   SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS seed_idx,
          CAST(c_custkey % 3 AS INT) AS priority,
@@ -288,6 +294,7 @@ def mirror_seeds(seeds_df: DataFrame, R: int, id_span: int) -> DataFrame:
         "mode",
         "js_strategy",
         "llm_anonymize",
+        "timeout_ms",
     )
 
 

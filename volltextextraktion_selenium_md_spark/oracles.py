@@ -399,16 +399,17 @@ def sql_fetch_timeout() -> str:
         _with({"mode_cases": Q.MODE_CASES_BODY})
         + f"""
 , costed AS (
-  SELECT p.page_id, m.mode, m.js_strategy, p.status,
+  SELECT p.page_id, m.mode, m.js_strategy, m.timeout_ms, p.status,
          ({_cost_exprs()[0]}) AS cost,
-         ({_cost_exprs()[1]}) AS js_escalated
+         ({_cost_exprs()[1]}) AS js_escalated,
+         coalesce(m.timeout_ms, {Q.TIMEOUT_CASE_MS}) AS cap
   FROM mode_cases m JOIN g_pages p ON p.page_id = m.page_id
 )
-SELECT page_id, mode, js_strategy,
+SELECT page_id, mode, js_strategy, timeout_ms,
   CASE
-    WHEN (status IN ({retryables}) OR cost > {Q.TIMEOUT_CASE_MS})
+    WHEN (status IN ({retryables}) OR cost > cap)
          AND 0 < {cfg.retries} THEN 'retry'
-    WHEN status IN ({retryables}) OR cost > {Q.TIMEOUT_CASE_MS} THEN 'failed'
+    WHEN status IN ({retryables}) OR cost > cap THEN 'failed'
     WHEN status >= 400 THEN 'failed'
     ELSE 'fetched'
   END AS outcome,
@@ -490,10 +491,12 @@ FROM g_pages
 
 def sql_truncate_text() -> str:
     n = Q.TRUNCATE_CHARS
+    cap = f"coalesce(CASE WHEN doc_id % 4 = 1 THEN {n // 2} END, {n})"
     return f"""
 SELECT doc_id,
-  CASE WHEN length(text) > {n} THEN substr(text, 1, {n}) ELSE text END AS text_cut,
-  length(text) > {n} AS truncated
+  CASE WHEN length(text) > {cap} THEN substr(text, 1, {cap}) ELSE text END
+    AS text_cut,
+  length(text) > {cap} AS truncated
 FROM documents
 """
 

@@ -619,13 +619,16 @@ def convert_stage(
     Per-request overrides (reference schemas.py:44-53): a
     ``media_policy`` column (else ``cfg.media_policy``) governs the
     audio/video branch, an ``html_converter`` column forces the HTML
-    tier ('main'/'full'/'strip'; NULL/'auto' keeps the chain)."""
+    tier ('main'/'full'/'strip'; NULL/'auto' keeps the chain), and a
+    ``max_bytes`` column caps THAT row's payload before conversion
+    (reference schemas.py:156-170; NULL = ``cfg.max_bytes``)."""
     cfg = cfg or CrawlConfig()
     max_bytes = cfg.max_bytes
     default_policy = cfg.media_policy
     has_policy_col = "media_policy" in fetched.columns
     has_forced_col = "html_converter" in fetched.columns
     has_anon_col = "llm_anonymize" in fetched.columns
+    has_maxb_col = "max_bytes" in fetched.columns
 
     scale = cfg.payload_scale
 
@@ -654,8 +657,13 @@ def convert_stage(
                     row["media_policy"] if has_policy_col else None
                 ) or default_policy
                 forced = row["html_converter"] if has_forced_col else None
+                mb = max_bytes
+                if has_maxb_col:
+                    v = row["max_bytes"]
+                    if v is not None and not pd.isna(v):
+                        mb = int(v)
                 md, conv, trunc = convert_bytes(
-                    int(pid), ctype, payload, breaker, max_bytes, extractor,
+                    int(pid), ctype, payload, breaker, mb, extractor,
                     media_policy=policy, forced_converter=forced,
                 )
                 out["url"].append(row["url"])
@@ -693,7 +701,9 @@ def convert_stage(
         ["url", "page_id", "content_type", payload_col]
     )
     cols = cols + [
-        c for c in ("media_policy", "html_converter", "llm_anonymize")
+        c for c in (
+            "media_policy", "html_converter", "llm_anonymize", "max_bytes",
+        )
         if c in fetched.columns and c not in cols
     ]
     return fetched.select(*cols).mapInPandas(run, schema=CONVERT_SCHEMA)

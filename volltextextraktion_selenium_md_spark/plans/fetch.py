@@ -170,8 +170,15 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     # request whose modeled latency exceeds the cap aborts — the 504
     # path (main.py:393-405), which re-enters the retry loop like any
     # transport failure. Evaluated on the request latency only (the
-    # crawl-delay slot is queueing, not request time).
-    timed_out = F.coalesce(cost, F.lit(0)) > cfg.timeout_ms
+    # crawl-delay slot is queueing, not request time). A frontier
+    # timeout_ms column overrides the config per row; NULL = global
+    # (same null-means-default semantics as allow_insecure_ssl).
+    req_timeout = (
+        F.coalesce(F.col("timeout_ms"), F.lit(cfg.timeout_ms))
+        if "timeout_ms" in admitted.columns
+        else F.lit(cfg.timeout_ms)
+    )
+    timed_out = F.coalesce(cost, F.lit(0)) > req_timeout
     retryable = (
         F.col("page_status").isin(list(cfg.retryable_statuses)) | timed_out
     )
@@ -319,7 +326,7 @@ def live_decisions(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
 LINKS_SCHEMA = (
     "p_url string, p_depth int, p_lineage string, p_priority int, "
     "p_mode string, p_js_strategy string, p_llm_anonymize boolean, "
-    "doc_pos int, raw_url string, text string"
+    "p_timeout_ms int, doc_pos int, raw_url string, text string"
 )
 
 
@@ -342,8 +349,8 @@ def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in (
                 "p_url", "p_depth", "p_lineage", "p_priority", "p_mode",
-                "p_js_strategy", "p_llm_anonymize", "doc_pos", "raw_url",
-                "text")}
+                "p_js_strategy", "p_llm_anonymize", "p_timeout_ms",
+                "doc_pos", "raw_url", "text")}
             for r in pdf.to_dict("records"):
                 payload = r["payload"]
                 if payload is None:
@@ -358,6 +365,7 @@ def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
                     rows["p_mode"].append(r["mode"])
                     rows["p_js_strategy"].append(r["js_strategy"])
                     rows["p_llm_anonymize"].append(r.get("llm_anonymize"))
+                    rows["p_timeout_ms"].append(r.get("timeout_ms"))
                     rows["doc_pos"].append(pos)
                     rows["raw_url"].append(absolute)
                     rows["text"].append(text)
@@ -375,13 +383,14 @@ def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
         F.col("p_mode").alias("mode"),
         F.col("p_js_strategy").alias("js_strategy"),
         F.col("p_llm_anonymize").alias("llm_anonymize"),
+        F.col("p_timeout_ms").alias("timeout_ms"),
         F.lit(0).alias("attempt"),
         F.lit(next_round).alias("round_added"),
     )
     return canon.select(
         "url", url_host(F.col("url")).alias("host"), "depth", "lineage",
-        "priority", "mode", "js_strategy", "llm_anonymize", "attempt",
-        "round_added",
+        "priority", "mode", "js_strategy", "llm_anonymize", "timeout_ms",
+        "attempt", "round_added",
     )
 
 
@@ -541,11 +550,31 @@ def live_fetch(
     salted = salted.withColumn("_proxy", normalize_proxy(proxy_src)).withColumn(
         "_insecure", ssl_src.cast("boolean")
     )
+    # per-row timeout: the frontier's timeout_ms overrides the config
+    # default for THAT request (reference schemas.py:116-128, NULL =
+    # global), converted to the transport's seconds unit once here
+    timeout_src = (
+        F.coalesce(F.col("timeout_ms"), F.lit(int(timeout_s * 1000)))
+        if "timeout_ms" in admitted.columns
+        else F.lit(int(timeout_s * 1000))
+    )
+    salted = salted.withColumn(
+        "_timeout_s", (timeout_src.cast("double") / F.lit(1000.0))
+    )
     retries, max_bytes = cfg.retries, cfg.max_bytes
+    # per-row body cap (reference max_bytes, schemas.py:156-170; NULL =
+    # global) — governs both the transport's read cap and the stream cut
+    maxb_src = (
+        F.coalesce(F.col("max_bytes"), F.lit(int(max_bytes)))
+        if "max_bytes" in admitted.columns
+        else F.lit(int(max_bytes))
+    )
+    salted = salted.withColumn("_max_bytes", maxb_src.cast("long"))
     pool_size = max(int(cfg.fetch_concurrency), 1)
     passthrough = list(passthrough or [])
     keep = ["url", "host", "depth", "lineage", "attempt", "user_agent"] + passthrough
-    keep_in = keep + ["_proxy", "_insecure"]  # transport inputs, not emitted
+    # transport inputs, not emitted
+    keep_in = keep + ["_proxy", "_insecure", "_timeout_s", "_max_bytes"]
 
     def run(batches):
         from concurrent.futures import ThreadPoolExecutor
@@ -558,11 +587,13 @@ def live_fetch(
             backoff_ms = 0
             used = 0
             err = None
+            row_max = int(row["_max_bytes"])
             for attempt in range(retries + 1):
                 used = attempt + 1
                 try:
                     status, final_url, data, ctype = transport(
-                        row["url"], row["user_agent"], timeout_s, max_bytes,
+                        row["url"], row["user_agent"],
+                        float(row["_timeout_s"]), row_max,
                         proxy=row["_proxy"],
                         verify=not bool(row["_insecure"]),
                     )
@@ -571,9 +602,9 @@ def live_fetch(
                 except Exception as exc:  # retry on transport errors only
                     err = f"{type(exc).__name__}: {exc}"
                     backoff_ms += min(2 ** attempt, 5) * 1000
-            truncated = len(data) > max_bytes
+            truncated = len(data) > row_max
             if truncated:
-                data = data[:max_bytes]
+                data = data[:row_max]
             return (status, final_url, data if err is None else None, ctype,
                     truncated, used, backoff_ms, err)
 

@@ -79,7 +79,7 @@ from volltextextraktion_selenium_md_spark.plans.fetch import (
 
 FRONTIER_COLS = [
     "url", "host", "depth", "lineage", "priority", "mode", "js_strategy",
-    "llm_anonymize", "attempt", "round_added",
+    "llm_anonymize", "timeout_ms", "attempt", "round_added",
 ]
 
 LOG_COLS = [
@@ -163,6 +163,12 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         F.col("llm_anonymize") if "llm_anonymize" in src.columns
         else F.lit(False)  # reference default (schemas.py:205 llm_anonymize)
     )
+    timeout_ms = (
+        # per-request timeout override; NULL = global cfg.timeout_ms
+        # (reference schemas.py:116-128)
+        F.col("timeout_ms") if "timeout_ms" in src.columns
+        else F.lit(None).cast("int")
+    )
     seeds = src.select(
         canonicalize_url(F.col("raw_url")).alias("url"),
         F.col("seed_idx"),
@@ -170,6 +176,7 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         F.col("mode"),
         js_strategy.alias("js_strategy"),
         llm_anonymize.alias("llm_anonymize"),
+        timeout_ms.alias("timeout_ms"),
     )
     f = seeds.select(
         "url",
@@ -185,6 +192,7 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         F.col("mode"),
         F.col("js_strategy"),
         F.col("llm_anonymize"),
+        F.col("timeout_ms"),
         F.lit(0).alias("attempt"),
         F.lit(0).alias("round_added"),
     )
@@ -652,7 +660,7 @@ class CrawlEngine:
                 dict.fromkeys(
                     LOG_COLS[1:]
                     + ["page_status", "priority", "js_strategy",
-                       "llm_anonymize", "h1", "h2"]
+                       "llm_anonymize", "timeout_ms", "h1", "h2"]
                     + (CONVERT_FEATURES if self.with_convert else [])
                 )
             )
@@ -663,7 +671,7 @@ class CrawlEngine:
                     num_partitions=self.num_partitions,
                     passthrough=[
                         "priority", "mode", "js_strategy", "llm_anonymize",
-                        "h1", "h2", "sched_slot_ms",
+                        "timeout_ms", "h1", "h2", "sched_slot_ms",
                     ],
                 )
                 # partition_id comes from the salted live stage itself
@@ -841,7 +849,7 @@ class CrawlEngine:
                 fetched.filter(F.col("outcome") == "retry")
                 .select(
                     "url", "host", "depth", "lineage", "priority", "mode",
-                    "js_strategy", "llm_anonymize",
+                    "js_strategy", "llm_anonymize", "timeout_ms",
                     (F.col("attempt") + 1).alias("attempt"),
                     F.lit(rnd + 1).alias("round_added"),
                     "h1", "h2",
@@ -862,6 +870,7 @@ class CrawlEngine:
                     fetched.filter(parent_filter).select(
                         "url", "final_url", "payload", "depth", "lineage",
                         "priority", "mode", "js_strategy", "llm_anonymize",
+                        "timeout_ms",
                     ),
                     rnd + 1,
                 )
@@ -874,6 +883,7 @@ class CrawlEngine:
                     F.col("mode").alias("p_mode"),
                     F.col("js_strategy").alias("p_js_strategy"),
                     F.col("llm_anonymize").alias("p_llm_anonymize"),
+                    F.col("timeout_ms").alias("p_timeout_ms"),
                 )
                 children = (
                     self._children_links(parents)
@@ -886,6 +896,7 @@ class CrawlEngine:
                         F.col("p_mode").alias("mode"),
                         F.col("p_js_strategy").alias("js_strategy"),
                         F.col("p_llm_anonymize").alias("llm_anonymize"),
+                        F.col("p_timeout_ms").alias("timeout_ms"),
                         F.lit(0).alias("attempt"),
                         F.lit(rnd + 1).alias("round_added"),
                     )

@@ -361,7 +361,13 @@ def q_fetch_timeout(spark, sf_dir):
     loop; cheap strategies still fetch. Runs the REAL fetch stage
     (simulated_fetch) over all three modes x both js_strategy pools
     (speed/accuracy, reference js_fetcher.py:201-202) — the accuracy
-    surcharge shows up in elapsed_ms and can flip the timeout outcome."""
+    surcharge shows up in elapsed_ms and can flip the timeout outcome.
+    1/5 of the cases carry a per-request timeout_ms=130 override
+    (reference schemas.py:116-128, NULL = global): LOOSER than the
+    global 100 ms for plain JS_LIGHT (120 ms survives) but still tight
+    enough that consent renders (150 ms) and any accuracy surcharge
+    (+180 ms) time out — the override flips outcomes in BOTH
+    directions, so the oracle checks the coalesce, not just the cap."""
     from volltextextraktion_selenium_md_spark.plans.fetch import simulated_fetch
 
     _g(spark, sf_dir)
@@ -370,14 +376,14 @@ def q_fetch_timeout(spark, sf_dir):
     frontier = cases.join(
         graph.pages(spark).select("page_id", "url"), on="page_id"
     ).select(
-        "url", "mode", "js_strategy",
+        "url", "mode", "js_strategy", "timeout_ms",
         F.lit(0).alias("attempt"),
         F.lit(0).alias("sched_slot_ms"),
     )
     out = simulated_fetch(frontier, graph.pages(spark), cfg)
     return out.select(
-        "page_id", "mode", "js_strategy", "outcome", "js_escalated",
-        "elapsed_ms",
+        "page_id", "mode", "js_strategy", "timeout_ms", "outcome",
+        "js_escalated", "elapsed_ms",
     )
 
 
@@ -445,14 +451,22 @@ def q_ua_rotation(spark, sf_dir):
 
 
 def q_truncate_text(spark, sf_dir):
+    """max_bytes truncation (reference schemas.py:156-170), with the
+    per-request override: 1/4 of the docs carry a tighter per-row cap
+    (half the global), the rest coalesce to the global — mirroring how
+    a max_bytes frontier/convert column overrides cfg.max_bytes."""
     docs = _docs(spark, sf_dir)
     t = F.col("text")
+    cap = F.coalesce(
+        F.when(F.col("doc_id") % 4 == 1, F.lit(TRUNCATE_CHARS // 2)),
+        F.lit(TRUNCATE_CHARS),
+    )
     return docs.select(
         "doc_id",
-        F.when(F.length(t) > TRUNCATE_CHARS, F.substring(t, 1, TRUNCATE_CHARS))
+        F.when(F.length(t) > cap, F.substring(t, F.lit(1), cap))
         .otherwise(t)
         .alias("text_cut"),
-        (F.length(t) > TRUNCATE_CHARS).alias("truncated"),
+        (F.length(t) > cap).alias("truncated"),
     )
 
 
@@ -900,7 +914,9 @@ SELECT
     WHEN 0 THEN 'fast'
     WHEN 1 THEN 'js'
     ELSE 'auto' END AS mode,
-  CASE WHEN page_id % 4 = 1 THEN 'accuracy' ELSE 'speed' END AS js_strategy
+  CASE WHEN page_id % 4 = 1 THEN 'accuracy' ELSE 'speed' END AS js_strategy,
+  CASE WHEN page_id % 5 = 2 THEN CAST(130 AS INT)
+       ELSE CAST(NULL AS INT) END AS timeout_ms
 FROM g_pages
 """
 

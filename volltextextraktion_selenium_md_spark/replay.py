@@ -59,7 +59,7 @@ def _load_graph(sf_dir: str) -> tuple[dict, dict, list, dict]:
     ).fetchall():
         links.setdefault(pid, []).append((doc_pos, raw_url, dst_host))
     seeds = con.execute(
-        "SELECT seed_idx, priority, raw_url, mode, js_strategy "
+        "SELECT seed_idx, priority, raw_url, mode, js_strategy, timeout_ms "
         "FROM g_seeds ORDER BY seed_idx"
     ).fetchall()
     robots = {
@@ -148,7 +148,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
     # round 0 init: canonicalize seeds, first-seen dedup in seed order
     frontier: list[dict] = []
     seen: set[str] = set()
-    for seed_idx, priority, raw_url, mode, js_strategy in seeds:
+    for seed_idx, priority, raw_url, mode, js_strategy, timeout_ms in seeds:
         url = canonicalize_one(raw_url)
         if url in seen:
             continue
@@ -161,6 +161,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
             "priority": priority,
             "mode": mode,
             "js_strategy": js_strategy,
+            "timeout_ms": timeout_ms,
             "attempt": 0,
         })
 
@@ -208,7 +209,10 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                 cost, escalated = _request_cost_ms(
                     row["mode"], page, cfg, row["js_strategy"]
                 )
-                timed_out = cost > cfg.timeout_ms
+                # per-request timeout_ms overrides the config (NULL =
+                # global), mirroring plans/fetch.py's coalesce
+                cap = row.get("timeout_ms")
+                timed_out = cost > (cap if cap is not None else cfg.timeout_ms)
                 if page["status"] in cfg.retryable_statuses or timed_out:
                     outcome = "retry" if row["attempt"] < cfg.retries else "failed"
                 elif page["status"] >= 400:
@@ -246,6 +250,7 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                         # parent request's settings (reference dispatch
                         # is per-request, schemas.py:85-104)
                         "js_strategy": row["js_strategy"],
+                        "timeout_ms": row.get("timeout_ms"),
                         "attempt": 0,
                     })
 
