@@ -32,6 +32,168 @@ from volltextextraktion_selenium_md_spark.functions.classify import (
 from volltextextraktion_selenium_md_spark.functions.mime import pick_user_agent
 from volltextextraktion_selenium_md_spark.functions.urls import redirect_flag
 
+# Column-tree memo for the fetch stage's derived expressions. Column
+# CONSTRUCTION is driver-side py4j work — the classify CASE chain alone
+# costs ~1.9 s to BUILD (measured, local[32] JVM) — and the engine loop
+# calls simulated_fetch every round, so rebuilding the trees per round
+# dominated the flagship's fixed per-round latency (~2.7 s/round of
+# pure expression building). Column objects are immutable and reusable
+# across DataFrames; the cache key carries every cfg constant the trees
+# embed plus the SparkContext id (a restarted JVM would invalidate the
+# cached JVM expression refs).
+_SIM_EXPRS_CACHE: dict[tuple, dict] = {}
+
+
+def _sim_exprs(cfg: CrawlConfig, has_js_strategy: bool, has_timeout: bool) -> dict:
+    from pyspark import SparkContext
+
+    key = (
+        id(SparkContext._active_spark_context), has_js_strategy, has_timeout,
+        cfg.http_only_text_len, cfg.js_light_thin_text_len,
+        cfg.second_chance_text_len, cfg.js_accuracy_extra_ms,
+        cfg.js_renderer_cap_ms, cfg.timeout_ms, cfg.retries,
+        tuple(sorted(cfg.cost_ms.items())),
+        tuple(cfg.retryable_statuses),
+    )
+    cached = _SIM_EXPRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    # per-request mode dispatch (reference schemas.py:85-104, dispatch
+    # app/main.py:315-371): preflight classification only runs in
+    # 'auto' mode — fast goes straight to httpx, js straight to
+    # Selenium; the route column reflects all three branches
+    strategy_raw = classify_strategy(
+        F.col("content_type"), F.coalesce(F.col("final_url"), F.col("url")),
+        F.col("text_len"), F.col("has_main"), F.col("spa_mark"),
+        F.col("js_required"), F.col("consent"), F.col("bot_wall"),
+        F.col("rss_link"), F.col("youtube"),
+        http_only_text_len=cfg.http_only_text_len,
+        js_light_thin_text_len=cfg.js_light_thin_text_len,
+    )
+    strategy = F.col("strategy")
+    route_expr = route_fetch(
+        F.col("mode"), strategy, F.col("text_len"),
+        second_chance_text_len=cfg.second_chance_text_len,
+    )
+    route = F.col("route")
+
+    # cost model: strategy latency midpoints (README.md:223,362-363) +
+    # the politeness slot offset; replaces wall-clock with a
+    # deterministic charge so throughput is measurable and replayable.
+    # A second-chance miss (HTTP_THEN_JS routed to Selenium) pays the
+    # JS refetch on top of the preflight it already ran (main.py:
+    # 351-371). fast mode charges the plain httpx fetch, js mode the
+    # Selenium render — neither pays a preflight
+    base_cost = F.lit(None).cast("int")
+    for strat, ms in cfg.cost_ms.items():
+        base_cost = F.when(strategy == strat, ms).otherwise(base_cost)
+    base_cost = F.when(
+        (strategy == "HTTP_THEN_JS") & (route == "selenium"),
+        cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"],
+    ).otherwise(base_cost)
+    base_cost = (
+        F.when(F.col("mode") == "fast", F.lit(cfg.cost_ms["HTTP_ONLY"]))
+        .when(F.col("mode") == "js", F.lit(cfg.cost_ms["JS_LIGHT"]))
+        .otherwise(base_cost)
+    )
+    cost = F.col("_base_cost")
+
+    # js_strategy (reference speed/accuracy Selenium pools,
+    # app/js_fetcher.py:201-202; latency bands README 2-6 s vs 8-12 s):
+    # an 'accuracy' request pays the slower pool's surcharge whenever a
+    # Selenium render actually happens — js mode, auto-routed
+    # JS_LIGHT(_CONSENT), an HTTP_THEN_JS second-chance miss, or a
+    # BLOCKED bot wall's Selenium refetch (the wall is detected only
+    # AFTER the render attempt, so the render cost is real).
+    blocked_render = (
+        ((F.col("mode") == "auto") & (strategy == "BLOCKED"))
+        | ((F.col("mode") == "js") & F.coalesce(F.col("bot_wall"), F.lit(False)))
+    )
+    renders_selenium = (
+        (F.col("mode") == "js")
+        | ((F.col("mode") == "auto") & strategy.isin("JS_LIGHT", "JS_LIGHT_CONSENT"))
+        | (
+            (F.col("mode") == "auto")
+            & (strategy == "HTTP_THEN_JS")
+            & (route == "selenium")
+        )
+        | blocked_render
+    )
+    accuracy = (
+        (F.col("js_strategy") == "accuracy")
+        if has_js_strategy else F.lit(False)
+    )
+    # speed->accuracy failure ladder (reference app/js_fetcher.py:
+    # 896-946): a SPEED render that hits the renderer timeout (early
+    # path) or exhausts retries — which a bot wall always does
+    # (:933-946) — escalates ONCE to a fresh accuracy-pool driver.
+    # Deterministic twin: a speed-pool Selenium render whose modeled
+    # latency exceeds js_renderer_cap_ms, or whose strategy is
+    # BLOCKED, pays the one-shot accuracy surcharge and records the
+    # escalation; the per-request timeout then judges the TOTAL cost,
+    # so an escalation can flip a fetch into the 504 retry path.
+    escalated_expr = (
+        renders_selenium
+        & ~accuracy
+        & (blocked_render | (cost > F.lit(cfg.js_renderer_cap_ms)))
+    )
+    escalated = F.col("_escalated")
+    cost_expr = F.when(
+        (renders_selenium & accuracy) | escalated,
+        cost + F.lit(cfg.js_accuracy_extra_ms),
+    ).otherwise(cost)
+    cost = F.col("_cost")
+
+    # per-request timeout (reference timeout_ms, schemas.py:116-128): a
+    # request whose modeled latency exceeds the cap aborts — the 504
+    # path (main.py:393-405), which re-enters the retry loop like any
+    # transport failure. Evaluated on the request latency only (the
+    # crawl-delay slot is queueing, not request time). A frontier
+    # timeout_ms column overrides the config per row; NULL = global
+    # (same null-means-default semantics as allow_insecure_ssl).
+    req_timeout = (
+        F.coalesce(F.col("timeout_ms"), F.lit(cfg.timeout_ms))
+        if has_timeout
+        else F.lit(cfg.timeout_ms)
+    )
+    timed_out = F.coalesce(cost, F.lit(0)) > req_timeout
+    retryable = (
+        F.col("page_status").isin(list(cfg.retryable_statuses)) | timed_out
+    )
+    outcome = (
+        F.when(F.col("page_id").isNull(), "missing")
+        .when(retryable & (F.col("attempt") < cfg.retries), "retry")
+        .when(retryable, "failed")
+        .when(F.col("page_status") >= 400, "failed")
+        .otherwise("fetched")
+    )
+
+    exprs = {
+        "strategy_when_auto": F.when(
+            F.col("mode") == "auto", strategy_raw
+        ),
+        "route": route_expr,
+        "base_cost": base_cost,
+        "escalated": escalated_expr,
+        "cost": cost_expr,
+        "outcome": outcome,
+        "strategy_guard": F.when(F.col("page_id").isNotNull(), strategy),
+        "route_guard": F.when(F.col("page_id").isNotNull(), route),
+        "escalated_guard": F.when(F.col("page_id").isNotNull(), escalated),
+        "user_agent": pick_user_agent(F.col("url")),
+        "redirected": F.when(
+            F.col("final_url").isNotNull(),
+            redirect_flag(F.col("url"), F.col("final_url")),
+        ),
+        "elapsed_ms": (
+            F.coalesce(cost, F.lit(0))
+            + F.coalesce(F.col("sched_slot_ms"), F.lit(0))
+        ).cast("int"),
+    }
+    _SIM_EXPRS_CACHE[key] = exprs
+    return exprs
+
 
 def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Resolve admitted frontier rows against the page corpus.
@@ -61,155 +223,34 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     # its own; the declarative form is right at BOTH scales.
     joined = admitted.join(page_cols, on="url", how="left")
 
-    # per-request mode dispatch (reference schemas.py:85-104, dispatch
-    # app/main.py:315-391): preflight classification only runs in
-    # 'auto' mode — fast goes straight to httpx, js straight to
-    # Selenium; the route column reflects all three branches
-    strategy_raw = classify_strategy(
-        F.col("content_type"), F.coalesce(F.col("final_url"), F.col("url")),
-        F.col("text_len"), F.col("has_main"), F.col("spa_mark"),
-        F.col("js_required"), F.col("consent"), F.col("bot_wall"),
-        F.col("rss_link"), F.col("youtube"),
-        http_only_text_len=cfg.http_only_text_len,
-        js_light_thin_text_len=cfg.js_light_thin_text_len,
+    # all derived expressions come from the per-(cfg, SparkContext)
+    # memo above — the trees embed only fixed column names, and
+    # materializing each tier as a REAL column keeps whole-stage
+    # codegen under the JVM 64 KB method limit (CollapseProject refuses
+    # to duplicate non-cheap expressions, so every CASE chain is
+    # generated exactly once; inlining them instead silently fell back
+    # to interpreted eval — 10 "Code grows beyond 64 KB" per run)
+    ex = _sim_exprs(
+        cfg,
+        has_js_strategy="js_strategy" in admitted.columns,
+        has_timeout="timeout_ms" in admitted.columns,
     )
-    # The strategy/route/cost expressions reference each other many
-    # times; materializing each tier as a REAL column forces Catalyst
-    # to keep the projections separate (CollapseProject refuses to
-    # duplicate non-cheap expressions), so whole-stage codegen emits
-    # every CASE chain exactly once. Inlining them instead grew the
-    # generated processNext() past the JVM's 64 KB method limit — the
-    # fetch stage then silently fell back to interpreted eval on every
-    # round (10 "Failed to compile: Code grows beyond 64 KB" per
-    # flagship run before this split).
-    joined = joined.withColumn(
-        "strategy", F.when(F.col("mode") == "auto", strategy_raw)
+    joined = (
+        joined.withColumn("strategy", ex["strategy_when_auto"])
+        .withColumn("route", ex["route"])
+        .withColumn("_base_cost", ex["base_cost"])
+        .withColumn("_escalated", ex["escalated"])
+        .withColumn("_cost", ex["cost"])
     )
-    strategy = F.col("strategy")
-    joined = joined.withColumn(
-        "route",
-        route_fetch(
-            F.col("mode"), strategy, F.col("text_len"),
-            second_chance_text_len=cfg.second_chance_text_len,
-        ),
-    )
-    route = F.col("route")
-
-    # cost model: strategy latency midpoints (README.md:223,362-363) +
-    # the politeness slot offset; replaces wall-clock with a
-    # deterministic charge so throughput is measurable and replayable.
-    # A second-chance miss (HTTP_THEN_JS routed to Selenium) pays the
-    # JS refetch on top of the preflight it already ran (main.py:351-371).
-    # fast mode charges the plain httpx fetch, js mode the Selenium
-    # render — neither pays a preflight (reference runs none for them)
-    cost = F.lit(None).cast("int")
-    for strat, ms in cfg.cost_ms.items():
-        cost = F.when(strategy == strat, ms).otherwise(cost)
-    cost = F.when(
-        (strategy == "HTTP_THEN_JS") & (route == "selenium"),
-        cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"],
-    ).otherwise(cost)
-    cost = (
-        F.when(F.col("mode") == "fast", F.lit(cfg.cost_ms["HTTP_ONLY"]))
-        .when(F.col("mode") == "js", F.lit(cfg.cost_ms["JS_LIGHT"]))
-        .otherwise(cost)
-    )
-    joined = joined.withColumn("_base_cost", cost)
-    cost = F.col("_base_cost")
-    # js_strategy (reference speed/accuracy Selenium pools,
-    # app/js_fetcher.py:201-202; latency bands README 2-6 s vs 8-12 s):
-    # an 'accuracy' request pays the slower pool's surcharge whenever a
-    # Selenium render actually happens — js mode, auto-routed
-    # JS_LIGHT(_CONSENT), an HTTP_THEN_JS second-chance miss, or a
-    # BLOCKED bot wall's Selenium refetch (the wall is detected only
-    # AFTER the render attempt, so the render cost is real).
-    blocked_render = (
-        ((F.col("mode") == "auto") & (strategy == "BLOCKED"))
-        | ((F.col("mode") == "js") & F.coalesce(F.col("bot_wall"), F.lit(False)))
-    )
-    renders_selenium = (
-        (F.col("mode") == "js")
-        | ((F.col("mode") == "auto") & strategy.isin("JS_LIGHT", "JS_LIGHT_CONSENT"))
-        | (
-            (F.col("mode") == "auto")
-            & (strategy == "HTTP_THEN_JS")
-            & (route == "selenium")
-        )
-        | blocked_render
-    )
-    accuracy = (
-        (F.col("js_strategy") == "accuracy")
-        if "js_strategy" in admitted.columns else F.lit(False)
-    )
-    # speed->accuracy failure ladder (reference app/js_fetcher.py:
-    # 896-946): a SPEED render that hits the renderer timeout (early
-    # path) or exhausts retries — which a bot wall always does
-    # (:933-946) — escalates ONCE to a fresh accuracy-pool driver.
-    # Deterministic twin: a speed-pool Selenium render whose modeled
-    # latency exceeds js_renderer_cap_ms, or whose strategy is
-    # BLOCKED, pays the one-shot accuracy surcharge and records the
-    # escalation; the per-request timeout then judges the TOTAL cost,
-    # so an escalation can flip a fetch into the 504 retry path.
-    joined = joined.withColumn(
-        "_escalated",
-        renders_selenium
-        & ~accuracy
-        & (blocked_render | (cost > F.lit(cfg.js_renderer_cap_ms))),
-    )
-    escalated = F.col("_escalated")
-    joined = joined.withColumn(
-        "_cost",
-        F.when(
-            (renders_selenium & accuracy) | escalated,
-            cost + F.lit(cfg.js_accuracy_extra_ms),
-        ).otherwise(cost),
-    )
-    cost = F.col("_cost")
-
-    # per-request timeout (reference timeout_ms, schemas.py:116-128): a
-    # request whose modeled latency exceeds the cap aborts — the 504
-    # path (main.py:393-405), which re-enters the retry loop like any
-    # transport failure. Evaluated on the request latency only (the
-    # crawl-delay slot is queueing, not request time). A frontier
-    # timeout_ms column overrides the config per row; NULL = global
-    # (same null-means-default semantics as allow_insecure_ssl).
-    req_timeout = (
-        F.coalesce(F.col("timeout_ms"), F.lit(cfg.timeout_ms))
-        if "timeout_ms" in admitted.columns
-        else F.lit(cfg.timeout_ms)
-    )
-    timed_out = F.coalesce(cost, F.lit(0)) > req_timeout
-    retryable = (
-        F.col("page_status").isin(list(cfg.retryable_statuses)) | timed_out
-    )
-    outcome = (
-        F.when(F.col("page_id").isNull(), "missing")
-        .when(retryable & (F.col("attempt") < cfg.retries), "retry")
-        .when(retryable, "failed")
-        .when(F.col("page_status") >= 400, "failed")
-        .otherwise("fetched")
-    )
-
     return (
-        joined.withColumn("strategy", F.when(F.col("page_id").isNotNull(), strategy))
-        .withColumn("route", F.when(F.col("page_id").isNotNull(), route))
-        .withColumn(
-            "js_escalated", F.when(F.col("page_id").isNotNull(), escalated)
-        )
+        joined.withColumn("strategy", ex["strategy_guard"])
+        .withColumn("route", ex["route_guard"])
+        .withColumn("js_escalated", ex["escalated_guard"])
         .drop("_base_cost", "_escalated")
-        .withColumn("outcome", outcome)
-        .withColumn("user_agent", pick_user_agent(F.col("url")))
-        .withColumn(
-            "redirected",
-            F.when(
-                F.col("final_url").isNotNull(),
-                redirect_flag(F.col("url"), F.col("final_url")),
-            ),
-        )
-        .withColumn(
-            "elapsed_ms",
-            (F.coalesce(cost, F.lit(0)) + F.coalesce(F.col("sched_slot_ms"), F.lit(0))).cast("int"),
-        )
+        .withColumn("outcome", ex["outcome"])
+        .withColumn("user_agent", ex["user_agent"])
+        .withColumn("redirected", ex["redirected"])
+        .withColumn("elapsed_ms", ex["elapsed_ms"])
         .drop("_cost")
     )
 
