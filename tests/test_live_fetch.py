@@ -258,3 +258,42 @@ def test_live_fetch_salts_hot_host(spark):
     )
     nparts = got.select("partition_id").distinct().count()
     assert nparts >= 4  # one host, many partitions
+
+
+def test_live_fetch_per_row_timeout_and_max_bytes(spark):
+    """Per-request timeout_ms / max_bytes columns reach the transport
+    ROW-WISE (reference schemas.py:116-128, 156-170): NULL rows fall
+    back to the config values, non-NULL rows override them — both the
+    transport's read cap and the stage's stream cut."""
+    from volltextextraktion_selenium_md_spark.plans.fetch import live_fetch
+
+    def factory():
+        def call(url, user_agent, timeout_s, max_bytes, **kw):
+            # echo the per-call caps so the test can assert them
+            body = f"t={timeout_s:.1f};m={max_bytes}".encode() + b"x" * 200
+            return 200, url, body[:max_bytes + 100], "text/html"
+
+        return call
+
+    rows = [
+        ("https://h0.example.com/a", "h0.example.com", 0, "000000", 0, 500, 64),
+        ("https://h0.example.com/b", "h0.example.com", 0, "000001", 0, None, None),
+    ]
+    f = spark.createDataFrame(
+        rows,
+        "url string, host string, depth int, lineage string, attempt int, "
+        "timeout_ms int, max_bytes int",
+    )
+    cfg = CrawlConfig(timeout_ms=2000, max_bytes=1024)
+    out = {
+        r["url"].rsplit("/", 1)[-1]: r
+        for r in live_fetch(f, cfg, transport_factory=factory,
+                            num_partitions=1).collect()
+    }
+    a, b = out["a"], out["b"]
+    # row a: overrides reached the transport and the stream cut
+    assert bytes(a["payload"]).startswith(b"t=0.5;m=64")
+    assert len(a["payload"]) == 64 and a["truncated"]
+    # row b: NULLs coalesced to the config values
+    assert bytes(b["payload"]).startswith(b"t=2.0;m=1024")
+    assert not b["truncated"]  # body (~210 B) under the 1024 cap
