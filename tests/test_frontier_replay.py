@@ -344,3 +344,41 @@ def test_per_request_timeout_override_steers_outcomes(spark):
     )
     # (no "override rows never fail" assertion: retryable HTTP statuses
     # legitimately retry regardless of the timeout override)
+
+
+def test_extract_links_false_makes_leaf(spark):
+    """Per-request extract_links (reference schemas.py:171-192): a
+    false row is fetched and logged but expands NO children — its whole
+    lineage is absent from the crawl, everything else identical. The
+    graph mints all-true (a crawl client re-POSTs with true), so the
+    false path is exercised by injecting modified seeds."""
+    from pyspark.sql import functions as F
+
+    from volltextextraktion_selenium_md_spark import graph
+
+    graph.register_graph_views(spark, SF_SMALL)
+    cfg = CrawlConfig(max_rounds=20)
+
+    eng_all = CrawlEngine(spark, SF_SMALL, cfg)
+    base = {r["lineage"]: r["outcome"]
+            for r in eng_all.run().fetch_log.collect()}
+
+    eng_gated = CrawlEngine(spark, SF_SMALL, cfg)
+    eng_gated.seeds = graph.seeds(spark).withColumn(
+        "extract_links", F.col("seed_idx") % 3 != 0
+    )
+    gated = {r["lineage"]: r["outcome"]
+             for r in eng_gated.run().fetch_log.collect()}
+
+    # pick a gated seed that actually expanded in the base run
+    gated_roots = {f"{i:06d}" for i in range(0, 10_000, 3)}
+    expanded = [l for l in base
+                if "." in l and l.split(".")[0] in gated_roots]
+    assert expanded, "need a gated seed with children in the base crawl"
+    # every gated-lineage child is gone; the seed itself still fetched
+    assert not any(l in gated for l in expanded)
+    assert all(l.split(".")[0] in gated for l in expanded)
+    # non-gated rows are untouched (same outcomes) unless they were
+    # first reached THROUGH a gated lineage (different shortest path)
+    still = {l: o for l, o in gated.items() if l in base}
+    assert all(base[l] == o for l, o in still.items())

@@ -132,11 +132,20 @@ def test_engine_with_llm_struct_column(spark):
 
     res = CrawlEngine(spark, SF_SMALL, with_convert=True, with_llm=True).run()
     rows = res.conversions.select(
-        "page_id", "markdown", "llm_anonymize", "llm.*"
+        "page_id", "markdown", "llm_anonymize", "llm_postprocess", "llm.*"
     ).collect()
     assert len(rows) > 0
     anon_vals = set()
+    gated = 0
     for r in rows:
+        if not r["llm_postprocess"]:
+            # per-request llm_postprocess gate (reference schemas.py:
+            # 194-204, main.py:437-454): the request didn't ask for the
+            # LLM, so the whole struct is NULL
+            assert r["classification"] is None
+            assert r["cleaned_markdown"] is None
+            gated += 1
+            continue
         assert r["classification"] in (
             "Bildungsinhalt", "Metabeschreibung", "Fehler/Infoseite")
         if r["page_id"] % 5 in (0, 1, 2):
@@ -149,6 +158,7 @@ def test_engine_with_llm_struct_column(spark):
         if r["page_id"] % 5 == 4:
             assert r["cleaned_markdown"] == r["markdown"]
             assert r["tokens_used"] is None
-    # the seed graph mints MIXED anonymize requests (seed_idx % 3 = 1),
-    # so this test actually exercises both values
+    # the seed graph mints MIXED anonymize AND llm_postprocess requests
+    # (seed_idx % 3 = 1 / % 5 <> 2), so both branches really run
     assert anon_vals == {True, False}
+    assert gated > 0

@@ -367,3 +367,36 @@ def test_convert_per_request_max_bytes_column(spark):
     # and dropping the column entirely keeps the old config-only path
     clean = {r["page_id"]: r for r in convert_stage(df.select(*cols)).collect()}
     assert not any(r["truncated"] for r in clean.values())
+
+
+def test_convert_trafilatura_clean_toggle():
+    """Per-request trafilatura_clean_markdown (reference schemas.py:
+    55-63, converter.py:210-227): False routes the trafilatura tier to
+    the raw html2txt path — full-DOM text, converter unchanged; True /
+    None keeps the cleaned main-content extraction."""
+    br = _Breaker()
+    mb = 10 * 1024 * 1024
+    html = (
+        b"<html><body><div><p>outside main content that is long enough"
+        b" to matter</p></div><main><p>"
+        + b"inside main " * 20 + b"</p></main></body></html>"
+    )
+    md_clean, conv, _ = convert_bytes(20, "text/html", html, br, mb)
+    assert conv == "main" and "outside main" not in md_clean
+    md_raw, conv, _ = convert_bytes(
+        20, "text/html", html, br, mb, trafilatura_clean=False
+    )
+    assert conv == "main"  # still the trafilatura tier...
+    assert "outside main" in md_raw and "inside main" in md_raw  # ...raw
+    # explicit True == default
+    md_true, conv, _ = convert_bytes(
+        20, "text/html", html, br, mb, trafilatura_clean=True
+    )
+    assert md_true == md_clean and conv == "main"
+    # forced 'main' + clean False also goes raw (reference applies
+    # eff_traf_clean inside the trafilatura branch regardless)
+    md_forced_raw, conv, _ = convert_bytes(
+        20, "text/html", html, br, mb,
+        forced_converter="main", trafilatura_clean=False,
+    )
+    assert conv == "main" and "outside main" in md_forced_raw

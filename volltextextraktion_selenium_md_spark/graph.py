@@ -141,7 +141,23 @@ SELECT
   -- costs, so crawl-ordering oracles are unaffected; outcome-flipping
   -- values are exercised by the fetch_timeout oracle and replay tests
   CASE WHEN s.seed_idx % 7 = 3 THEN CAST(5000 AS INT)
-       ELSE CAST(NULL AS INT) END AS timeout_ms
+       ELSE CAST(NULL AS INT) END AS timeout_ms,
+  -- per-request retry budget (schemas.py:130-141; NULL = config). The
+  -- non-NULL mint equals the config default (1), so crawl oracles are
+  -- unaffected; outcome flips are exercised in the fetch_timeout
+  -- oracle's mode_cases mix
+  CASE WHEN s.seed_idx % 9 = 4 THEN CAST(1 AS INT)
+       ELSE CAST(NULL AS INT) END AS retries,
+  -- per-request LLM gate (schemas.py:194-204, default false in the
+  -- reference; the crawl mints a deterministic mix — steers only the
+  -- LLM stage, never crawl ordering)
+  s.seed_idx % 5 <> 2 AS llm_postprocess,
+  -- per-request link-extraction gate (schemas.py:171-192; the
+  -- reference default is false, but a crawl client re-POSTs with
+  -- true — minted all-true so the crawl workload is identical across
+  -- rounds; the false path is engine-gated and pytest-exercised with
+  -- injected seeds)
+  TRUE AS extract_links
 FROM (
   SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS seed_idx,
          CAST(c_custkey % 3 AS INT) AS priority,
@@ -295,6 +311,9 @@ def mirror_seeds(seeds_df: DataFrame, R: int, id_span: int) -> DataFrame:
         "js_strategy",
         "llm_anonymize",
         "timeout_ms",
+        "retries",
+        "llm_postprocess",
+        "extract_links",
     )
 
 

@@ -399,16 +399,17 @@ def sql_fetch_timeout() -> str:
         _with({"mode_cases": Q.MODE_CASES_BODY})
         + f"""
 , costed AS (
-  SELECT p.page_id, m.mode, m.js_strategy, m.timeout_ms, p.status,
+  SELECT p.page_id, m.mode, m.js_strategy, m.timeout_ms, m.retries, p.status,
          ({_cost_exprs()[0]}) AS cost,
          ({_cost_exprs()[1]}) AS js_escalated,
          coalesce(m.timeout_ms, {Q.TIMEOUT_CASE_MS}) AS cap
   FROM mode_cases m JOIN g_pages p ON p.page_id = m.page_id
 )
 SELECT page_id, mode, js_strategy, timeout_ms,
+  retries AS req_retries,
   CASE
     WHEN (status IN ({retryables}) OR cost > cap)
-         AND 0 < {cfg.retries} THEN 'retry'
+         AND 0 < coalesce(retries, {cfg.retries}) THEN 'retry'
     WHEN status IN ({retryables}) OR cost > cap THEN 'failed'
     WHEN status >= 400 THEN 'failed'
     ELSE 'fetched'
@@ -662,17 +663,19 @@ def sql_llm_postprocess() -> str:
         _with({"llm_cases": Q.LLM_CASES_BODY})
         + f"""
 SELECT page_id,
-  CASE page_id % 5
-    WHEN 3 THEN 'Here is the cleaned text:' || chr(10) || ({tag}) || ' ' || markdown
-    WHEN 4 THEN markdown
-    ELSE ({tag}) || ' ' || markdown
+  CASE WHEN NOT llm_go THEN NULL
+       WHEN page_id % 5 = 3 THEN 'Here is the cleaned text:' || chr(10) || ({tag}) || ' ' || markdown
+       WHEN page_id % 5 = 4 THEN markdown
+       ELSE ({tag}) || ' ' || markdown
   END AS cleaned_markdown,
-  CASE WHEN page_id % 5 IN (3, 4) THEN 'Metabeschreibung'
+  CASE WHEN NOT llm_go THEN NULL
+       WHEN page_id % 5 IN (3, 4) THEN 'Metabeschreibung'
        WHEN status >= 400 THEN 'Fehler/Infoseite'
        WHEN length(markdown) >= {CONTENT_MIN_CHARS} THEN 'Bildungsinhalt'
        ELSE 'Metabeschreibung' END AS classification,
-  page_id % 2 = 0 AS anonymized,
-  CASE WHEN page_id % 5 = 4 THEN NULL
+  CASE WHEN NOT llm_go THEN NULL
+       ELSE page_id % 2 = 0 END AS anonymized,
+  CASE WHEN NOT llm_go OR page_id % 5 = 4 THEN NULL
        ELSE CAST(floor(length(markdown) / 4) AS INTEGER) END AS tokens_used
 FROM llm_cases
 """

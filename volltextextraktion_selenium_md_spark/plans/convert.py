@@ -479,6 +479,7 @@ def convert_bytes(
     pid: int, ctype: str, payload: bytes, breaker: _Breaker, max_bytes: int,
     extractor=None, media_policy: str = "skip",
     forced_converter: str | None = None,
+    trafilatura_clean: bool | None = None,
 ) -> tuple[str, str, bool]:
     """Returns (markdown, converter_used, truncated). Never raises (C9).
     `extractor` (default `_extract`) is injectable so tests can poison
@@ -487,7 +488,12 @@ def convert_bytes(
     253-282). `forced_converter` pins the HTML tier to 'main'/'full'/
     'strip' (the reference's per-request html_converter override,
     schemas.py:44-53, dispatch converter.py:208-246); None/'auto' keeps
-    the 3-tier fallback chain."""
+    the 3-tier fallback chain. `trafilatura_clean` mirrors the
+    reference's per-request trafilatura_clean_markdown (schemas.py:
+    55-63, converter.py:210-227): True/None = cleaned main-content
+    extraction, False = the raw html2txt path — the trafilatura tier
+    then emits the FULL-DOM text while still reporting itself as the
+    converter that ran."""
     extract = extractor or _extract
     truncated = len(payload) > max_bytes
     if truncated:
@@ -539,7 +545,11 @@ def convert_bytes(
                 stripped = re.sub(r"<[^>]+>", " ", html)
                 return _polish(re.sub(r"\s+", " ", stripped).strip()), "strip", truncated
             return (
-                _polish(extract(html, main_only=forced_converter == "main")),
+                _polish(extract(
+                    html,
+                    main_only=(forced_converter == "main")
+                    and trafilatura_clean is not False,
+                )),
                 forced_converter,
                 truncated,
             )
@@ -547,7 +557,10 @@ def convert_bytes(
         # raw strip; each tier isolated (converter.py:208-246)
         if not breaker.open:
             try:
-                main = extract(html, main_only=True)
+                # trafilatura_clean=False: the trafilatura tier runs
+                # html2txt (raw full-DOM text) instead of the cleaned
+                # main-content extraction (converter.py:212-227)
+                main = extract(html, main_only=trafilatura_clean is not False)
                 if len(main) >= 80:
                     return _polish(main), "main", truncated
             except Exception:
@@ -575,11 +588,12 @@ CONVERT_SCHEMA = T.StructType([
     T.StructField("markdown_length", T.IntegerType(), False),
     T.StructField("converter_used", T.StringType(), False),
     T.StructField("truncated", T.BooleanType(), False),
-    # per-request llm_anonymize flag rides through conversion so the
-    # downstream LLM stage can honor it row-wise (reference
-    # schemas.py:205, main.py:445-457); NULL when the input has no
-    # such column
+    # per-request llm_anonymize / llm_postprocess flags ride through
+    # conversion so the downstream LLM stage can honor them row-wise
+    # (reference schemas.py:194-211, main.py:437-457); NULL when the
+    # input has no such column
     T.StructField("llm_anonymize", T.BooleanType(), True),
+    T.StructField("llm_postprocess", T.BooleanType(), True),
     T.StructField("image_id", T.StringType(), True),
     T.StructField("image_bytes", T.BinaryType(), True),
     T.StructField("w", T.IntegerType(), True),
@@ -628,7 +642,9 @@ def convert_stage(
     has_policy_col = "media_policy" in fetched.columns
     has_forced_col = "html_converter" in fetched.columns
     has_anon_col = "llm_anonymize" in fetched.columns
+    has_llm_gate_col = "llm_postprocess" in fetched.columns
     has_maxb_col = "max_bytes" in fetched.columns
+    has_clean_col = "trafilatura_clean" in fetched.columns
 
     scale = cfg.payload_scale
 
@@ -662,9 +678,15 @@ def convert_stage(
                     v = row["max_bytes"]
                     if v is not None and not pd.isna(v):
                         mb = int(v)
+                clean = None
+                if has_clean_col:
+                    v = row["trafilatura_clean"]
+                    if v is not None and not pd.isna(v):
+                        clean = bool(v)
                 md, conv, trunc = convert_bytes(
                     int(pid), ctype, payload, breaker, mb, extractor,
                     media_policy=policy, forced_converter=forced,
+                    trafilatura_clean=clean,
                 )
                 out["url"].append(row["url"])
                 out["page_id"].append(int(pid))
@@ -675,6 +697,11 @@ def convert_stage(
                 out["llm_anonymize"].append(
                     bool(row["llm_anonymize"])
                     if has_anon_col and row["llm_anonymize"] is not None
+                    else None
+                )
+                out["llm_postprocess"].append(
+                    bool(row["llm_postprocess"])
+                    if has_llm_gate_col and row["llm_postprocess"] is not None
                     else None
                 )
                 if minted and ctype.startswith("image/"):
@@ -693,7 +720,8 @@ def convert_stage(
             # mixed None+int columns coerce to float64 and corrupt
             # 64-bit values — force nullable integer dtypes
             for k, dt in (("w", "Int32"), ("h", "Int32"), ("phash", "Int64"),
-                          ("llm_anonymize", "boolean")):
+                          ("llm_anonymize", "boolean"),
+                          ("llm_postprocess", "boolean")):
                 res[k] = pd.array(out[k], dtype=dt)
             yield res
 
@@ -702,7 +730,8 @@ def convert_stage(
     )
     cols = cols + [
         c for c in (
-            "media_policy", "html_converter", "llm_anonymize", "max_bytes",
+            "media_policy", "html_converter", "llm_anonymize",
+            "llm_postprocess", "max_bytes", "trafilatura_clean",
         )
         if c in fetched.columns and c not in cols
     ]

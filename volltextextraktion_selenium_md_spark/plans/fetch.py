@@ -44,11 +44,15 @@ from volltextextraktion_selenium_md_spark.functions.urls import redirect_flag
 _SIM_EXPRS_CACHE: dict[tuple, dict] = {}
 
 
-def _sim_exprs(cfg: CrawlConfig, has_js_strategy: bool, has_timeout: bool) -> dict:
+def _sim_exprs(
+    cfg: CrawlConfig, has_js_strategy: bool, has_timeout: bool,
+    has_retries: bool = False,
+) -> dict:
     from pyspark import SparkContext
 
     key = (
         id(SparkContext._active_spark_context), has_js_strategy, has_timeout,
+        has_retries,
         cfg.http_only_text_len, cfg.js_light_thin_text_len,
         cfg.second_chance_text_len, cfg.js_accuracy_extra_ms,
         cfg.js_renderer_cap_ms, cfg.timeout_ms, cfg.retries,
@@ -161,9 +165,17 @@ def _sim_exprs(cfg: CrawlConfig, has_js_strategy: bool, has_timeout: bool) -> di
     retryable = (
         F.col("page_status").isin(list(cfg.retryable_statuses)) | timed_out
     )
+    # per-request retries (reference schemas.py:130-141): the requeue
+    # cut compares the attempt counter against THAT row's budget, NULL
+    # coalescing to the config default
+    req_retries = (
+        F.coalesce(F.col("retries"), F.lit(cfg.retries))
+        if has_retries
+        else F.lit(cfg.retries)
+    )
     outcome = (
         F.when(F.col("page_id").isNull(), "missing")
-        .when(retryable & (F.col("attempt") < cfg.retries), "retry")
+        .when(retryable & (F.col("attempt") < req_retries), "retry")
         .when(retryable, "failed")
         .when(F.col("page_status") >= 400, "failed")
         .otherwise("fetched")
@@ -234,6 +246,7 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         cfg,
         has_js_strategy="js_strategy" in admitted.columns,
         has_timeout="timeout_ms" in admitted.columns,
+        has_retries="retries" in admitted.columns,
     )
     joined = (
         joined.withColumn("strategy", ex["strategy_when_auto"])
@@ -367,7 +380,15 @@ def live_decisions(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
 LINKS_SCHEMA = (
     "p_url string, p_depth int, p_lineage string, p_priority int, "
     "p_mode string, p_js_strategy string, p_llm_anonymize boolean, "
-    "p_timeout_ms int, doc_pos int, raw_url string, text string"
+    "p_timeout_ms int, p_retries int, p_llm_postprocess boolean, "
+    "p_extract_links boolean, doc_pos int, raw_url string, text string"
+)
+
+# request-settings columns a parent hands to its children (mirror of
+# plans/frontier.py REQUEST_COLS; kept here to avoid a circular import)
+_REQ_COLS = (
+    "mode", "js_strategy", "llm_anonymize", "timeout_ms", "retries",
+    "llm_postprocess", "extract_links",
 )
 
 
@@ -389,8 +410,8 @@ def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
     def explode_links(batches):
         for pdf in batches:
             rows = {k: [] for k in (
-                "p_url", "p_depth", "p_lineage", "p_priority", "p_mode",
-                "p_js_strategy", "p_llm_anonymize", "p_timeout_ms",
+                "p_url", "p_depth", "p_lineage", "p_priority",
+                *[f"p_{c}" for c in _REQ_COLS],
                 "doc_pos", "raw_url", "text")}
             for r in pdf.to_dict("records"):
                 payload = r["payload"]
@@ -403,10 +424,8 @@ def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
                     rows["p_depth"].append(r["depth"])
                     rows["p_lineage"].append(r["lineage"])
                     rows["p_priority"].append(r["priority"])
-                    rows["p_mode"].append(r["mode"])
-                    rows["p_js_strategy"].append(r["js_strategy"])
-                    rows["p_llm_anonymize"].append(r.get("llm_anonymize"))
-                    rows["p_timeout_ms"].append(r.get("timeout_ms"))
+                    for c in _REQ_COLS:
+                        rows[f"p_{c}"].append(r.get(c))
                     rows["doc_pos"].append(pos)
                     rows["raw_url"].append(absolute)
                     rows["text"].append(text)
@@ -421,17 +440,13 @@ def links_from_payloads(parents: DataFrame, next_round: int) -> DataFrame:
             F.lpad(F.col("doc_pos").cast("string"), 2, "0"),
         ).alias("lineage"),
         F.col("p_priority").alias("priority"),
-        F.col("p_mode").alias("mode"),
-        F.col("p_js_strategy").alias("js_strategy"),
-        F.col("p_llm_anonymize").alias("llm_anonymize"),
-        F.col("p_timeout_ms").alias("timeout_ms"),
+        *[F.col(f"p_{c}").alias(c) for c in _REQ_COLS],
         F.lit(0).alias("attempt"),
         F.lit(next_round).alias("round_added"),
     )
     return canon.select(
         "url", url_host(F.col("url")).alias("host"), "depth", "lineage",
-        "priority", "mode", "js_strategy", "llm_anonymize", "timeout_ms",
-        "attempt", "round_added",
+        "priority", *_REQ_COLS, "attempt", "round_added",
     )
 
 
@@ -611,11 +626,19 @@ def live_fetch(
         else F.lit(int(max_bytes))
     )
     salted = salted.withColumn("_max_bytes", maxb_src.cast("long"))
+    # per-row transport retry budget (reference retries, schemas.py:
+    # 130-141, retry loop http_fetcher.py:64-83; NULL = global)
+    retries_src = (
+        F.coalesce(F.col("retries"), F.lit(int(retries)))
+        if "retries" in admitted.columns
+        else F.lit(int(retries))
+    )
+    salted = salted.withColumn("_retries", retries_src.cast("int"))
     pool_size = max(int(cfg.fetch_concurrency), 1)
     passthrough = list(passthrough or [])
     keep = ["url", "host", "depth", "lineage", "attempt", "user_agent"] + passthrough
     # transport inputs, not emitted
-    keep_in = keep + ["_proxy", "_insecure", "_timeout_s", "_max_bytes"]
+    keep_in = keep + ["_proxy", "_insecure", "_timeout_s", "_max_bytes", "_retries"]
 
     def run(batches):
         from concurrent.futures import ThreadPoolExecutor
@@ -629,7 +652,7 @@ def live_fetch(
             used = 0
             err = None
             row_max = int(row["_max_bytes"])
-            for attempt in range(retries + 1):
+            for attempt in range(int(row["_retries"]) + 1):
                 used = attempt + 1
                 try:
                     status, final_url, data, ctype = transport(

@@ -77,9 +77,17 @@ from volltextextraktion_selenium_md_spark.plans.fetch import (
     simulated_fetch,
 )
 
+# per-request settings every frontier row carries (reference
+# CrawlRequest, app/schemas.py); a crawl loop re-POSTs children with
+# the parent request's settings, so children inherit all of them
+REQUEST_COLS = [
+    "mode", "js_strategy", "llm_anonymize", "timeout_ms", "retries",
+    "llm_postprocess", "extract_links",
+]
+
 FRONTIER_COLS = [
-    "url", "host", "depth", "lineage", "priority", "mode", "js_strategy",
-    "llm_anonymize", "timeout_ms", "attempt", "round_added",
+    "url", "host", "depth", "lineage", "priority", *REQUEST_COLS,
+    "attempt", "round_added",
 ]
 
 LOG_COLS = [
@@ -169,6 +177,26 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         F.col("timeout_ms") if "timeout_ms" in src.columns
         else F.lit(None).cast("int")
     )
+    retries = (
+        # per-request retry budget; NULL = global cfg.retries
+        # (reference schemas.py:130-141)
+        F.col("retries") if "retries" in src.columns
+        else F.lit(None).cast("int")
+    )
+    llm_postprocess = (
+        # per-request LLM gate (reference schemas.py:194-204, default
+        # false — the LLM stage only runs where the request asked)
+        F.col("llm_postprocess") if "llm_postprocess" in src.columns
+        else F.lit(False)
+    )
+    extract_links = (
+        # per-request link-extraction gate (reference schemas.py:
+        # 171-192). The reference default is false, but a CRAWL means
+        # following links, so absent the column every row expands —
+        # a false row is a leaf (fetched + converted, no children)
+        F.col("extract_links") if "extract_links" in src.columns
+        else F.lit(True)
+    )
     seeds = src.select(
         canonicalize_url(F.col("raw_url")).alias("url"),
         F.col("seed_idx"),
@@ -177,6 +205,9 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         js_strategy.alias("js_strategy"),
         llm_anonymize.alias("llm_anonymize"),
         timeout_ms.alias("timeout_ms"),
+        retries.alias("retries"),
+        llm_postprocess.alias("llm_postprocess"),
+        extract_links.alias("extract_links"),
     )
     f = seeds.select(
         "url",
@@ -189,10 +220,7 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
         # js_fetcher.py:201-202, llm_anonymize schemas.py:205 honored at
         # main.py:445-457); a crawl loop re-POSTs children with the same
         # request settings, so children inherit the seed's values
-        F.col("mode"),
-        F.col("js_strategy"),
-        F.col("llm_anonymize"),
-        F.col("timeout_ms"),
+        *[F.col(c) for c in REQUEST_COLS],
         F.lit(0).alias("attempt"),
         F.lit(0).alias("round_added"),
     )
@@ -659,8 +687,7 @@ class CrawlEngine:
             keep = list(
                 dict.fromkeys(
                     LOG_COLS[1:]
-                    + ["page_status", "priority", "js_strategy",
-                       "llm_anonymize", "timeout_ms", "h1", "h2"]
+                    + ["page_status", "priority", *REQUEST_COLS, "h1", "h2"]
                     + (CONVERT_FEATURES if self.with_convert else [])
                 )
             )
@@ -670,8 +697,8 @@ class CrawlEngine:
                     transport_factory=self.transport_factory,
                     num_partitions=self.num_partitions,
                     passthrough=[
-                        "priority", "mode", "js_strategy", "llm_anonymize",
-                        "timeout_ms", "h1", "h2", "sched_slot_ms",
+                        "priority", *REQUEST_COLS, "h1", "h2",
+                        "sched_slot_ms",
                     ],
                 )
                 # partition_id comes from the salted live stage itself
@@ -768,6 +795,7 @@ class CrawlEngine:
                     co = conv_df.select(
                         "url", "page_id", "markdown", "markdown_length",
                         "converter_used", "truncated", "llm_anonymize",
+                        "llm_postprocess",
                     ).withColumn(
                         "error_page_detected",
                         error_page_detected(
@@ -779,13 +807,16 @@ class CrawlEngine:
                             llm_postprocess_stage,
                         )
 
-                        # per-request llm_anonymize (reference
-                        # schemas.py:205, honored at main.py:445-457):
-                        # the frontier column rides through the convert
-                        # stage and steers the LLM stage row-wise
+                        # per-request llm_anonymize + llm_postprocess
+                        # (reference schemas.py:194-211, honored at
+                        # main.py:437-457): both frontier columns ride
+                        # through the convert stage and steer the LLM
+                        # stage row-wise — rows whose request didn't
+                        # ask for postprocessing get a NULL llm struct
                         co = llm_postprocess_stage(
                             co, error_col="error_page_detected",
                             anonymize_col="llm_anonymize",
+                            enable_col="llm_postprocess",
                         )
                     b = conv_df.filter(F.col("image_id").isNotNull()).select(
                         "image_id",
@@ -848,8 +879,8 @@ class CrawlEngine:
             retries = (
                 fetched.filter(F.col("outcome") == "retry")
                 .select(
-                    "url", "host", "depth", "lineage", "priority", "mode",
-                    "js_strategy", "llm_anonymize", "timeout_ms",
+                    "url", "host", "depth", "lineage", "priority",
+                    *REQUEST_COLS,
                     (F.col("attempt") + 1).alias("attempt"),
                     F.lit(rnd + 1).alias("round_added"),
                     "h1", "h2",
@@ -861,6 +892,10 @@ class CrawlEngine:
                 (F.col("outcome") == "fetched")
                 & F.col("content_type").startswith("text/html")
                 & (F.col("depth") < cfg.max_depth)
+                # per-request extract_links gate (schemas.py:171-192):
+                # a false row is a leaf — fetched and converted, but it
+                # expands no children (NULL = crawl default, expand)
+                & F.coalesce(F.col("extract_links"), F.lit(True))
             )
             if self.fetch_mode == "live":
                 # live mode: children come from the PAYLOAD BYTES — the
@@ -869,8 +904,7 @@ class CrawlEngine:
                 children = links_from_payloads(
                     fetched.filter(parent_filter).select(
                         "url", "final_url", "payload", "depth", "lineage",
-                        "priority", "mode", "js_strategy", "llm_anonymize",
-                        "timeout_ms",
+                        "priority", *REQUEST_COLS,
                     ),
                     rnd + 1,
                 )
@@ -880,10 +914,7 @@ class CrawlEngine:
                     F.col("depth").alias("p_depth"),
                     F.col("lineage").alias("p_lineage"),
                     F.col("priority").alias("p_priority"),
-                    F.col("mode").alias("p_mode"),
-                    F.col("js_strategy").alias("p_js_strategy"),
-                    F.col("llm_anonymize").alias("p_llm_anonymize"),
-                    F.col("timeout_ms").alias("p_timeout_ms"),
+                    *[F.col(c).alias(f"p_{c}") for c in REQUEST_COLS],
                 )
                 children = (
                     self._children_links(parents)
@@ -893,10 +924,7 @@ class CrawlEngine:
                         (F.col("p_depth") + 1).alias("depth"),
                         F.concat(F.col("p_lineage"), F.lit("."), _pad2(F.col("doc_pos"))).alias("lineage"),
                         F.col("p_priority").alias("priority"),
-                        F.col("p_mode").alias("mode"),
-                        F.col("p_js_strategy").alias("js_strategy"),
-                        F.col("p_llm_anonymize").alias("llm_anonymize"),
-                        F.col("p_timeout_ms").alias("timeout_ms"),
+                        *[F.col(f"p_{c}").alias(c) for c in REQUEST_COLS],
                         F.lit(0).alias("attempt"),
                         F.lit(rnd + 1).alias("round_added"),
                     )

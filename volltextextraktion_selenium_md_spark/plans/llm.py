@@ -211,12 +211,18 @@ def llm_postprocess_stage(
     error_col: str | None = None,
     anonymize_col: str | None = None,
     prompt_col: str | None = None,
+    enable_col: str | None = None,
 ) -> DataFrame:
     """Arrow-batched postprocess pass: appends the LLMResult struct
     column ``llm`` (CrawlResponse.llm shape, schemas.py:248-257).
     ``prompt_col`` carries the per-request llm_clean_prompt override
     (NULL rows use the default template); when omitted and the input
-    HAS an ``llm_prompt`` column, that column is used."""
+    HAS an ``llm_prompt`` column, that column is used. ``enable_col``
+    is the per-request ``llm_postprocess`` gate (schemas.py:194-204):
+    rows whose flag is false get a NULL ``llm`` struct — the reference
+    only runs the LLM when the request asks for it (main.py:437-454);
+    a NULL flag means the request didn't set it -> reference default
+    false."""
     if prompt_col is None and "llm_prompt" in df.columns:
         prompt_col = "llm_prompt"
     out_schema = T.StructType(
@@ -228,6 +234,7 @@ def llm_postprocess_stage(
             errors = pdf[error_col] if error_col else [False] * len(pdf)
             anon = pdf[anonymize_col] if anonymize_col else [False] * len(pdf)
             prompts = pdf[prompt_col] if prompt_col else [None] * len(pdf)
+            enabled = pdf[enable_col] if enable_col else [True] * len(pdf)
             pdf = pdf.copy()
             pdf["llm"] = [
                 # pd.isna: a NULL anonymize flag (nullable-boolean NA)
@@ -237,8 +244,11 @@ def llm_postprocess_stage(
                     md, int(pid), bool(e),
                     bool(a) if not pd.isna(a) else False, p,
                 )
-                for md, pid, e, a, p in zip(
-                    pdf[markdown_col], pdf[page_id_col], errors, anon, prompts
+                if (not pd.isna(en)) and bool(en)
+                else None
+                for md, pid, e, a, p, en in zip(
+                    pdf[markdown_col], pdf[page_id_col], errors, anon,
+                    prompts, enabled,
                 )
             ]
             yield pdf

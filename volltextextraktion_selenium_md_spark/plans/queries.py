@@ -367,7 +367,9 @@ def q_fetch_timeout(spark, sf_dir):
     global 100 ms for plain JS_LIGHT (120 ms survives) but still tight
     enough that consent renders (150 ms) and any accuracy surcharge
     (+180 ms) time out — the override flips outcomes in BOTH
-    directions, so the oracle checks the coalesce, not just the cap."""
+    directions, so the oracle checks the coalesce, not just the cap.
+    1/7 carry retries=0 (schemas.py:130-141): their retryable failures
+    go straight to 'failed' instead of 'retry'."""
     from volltextextraktion_selenium_md_spark.plans.fetch import simulated_fetch
 
     _g(spark, sf_dir)
@@ -376,13 +378,14 @@ def q_fetch_timeout(spark, sf_dir):
     frontier = cases.join(
         graph.pages(spark).select("page_id", "url"), on="page_id"
     ).select(
-        "url", "mode", "js_strategy", "timeout_ms",
+        "url", "mode", "js_strategy", "timeout_ms", "retries",
         F.lit(0).alias("attempt"),
         F.lit(0).alias("sched_slot_ms"),
     )
     out = simulated_fetch(frontier, graph.pages(spark), cfg)
     return out.select(
-        "page_id", "mode", "js_strategy", "timeout_ms", "outcome",
+        "page_id", "mode", "js_strategy", "timeout_ms",
+        F.col("retries").alias("req_retries"), "outcome",
         "js_escalated", "elapsed_ms",
     )
 
@@ -607,7 +610,10 @@ def q_llm_postprocess(spark, sf_dir):
         "error_page", F.col("status") >= 400
     )
     staged = llm_postprocess_stage(
-        cases, error_col="error_page", anonymize_col="anonymize"
+        cases, error_col="error_page", anonymize_col="anonymize",
+        # per-request llm_postprocess gate (schemas.py:194-204): 1/11 of
+        # the cases didn't ask for the LLM -> NULL llm struct
+        enable_col="llm_go",
     )
     return staged.select(
         "page_id",
@@ -903,7 +909,8 @@ SELECT
   'doc ' || CAST(page_id AS STRING) || repeat(' w', page_id % 400) AS markdown,
   page_id % 2 = 0 AS anonymize,
   CASE WHEN page_id % 7 = 2
-       THEN 'SUMMARIZE the following page into study notes' END AS llm_prompt
+       THEN 'SUMMARIZE the following page into study notes' END AS llm_prompt,
+  page_id % 11 <> 6 AS llm_go
 FROM g_pages
 """
 
@@ -916,7 +923,9 @@ SELECT
     ELSE 'auto' END AS mode,
   CASE WHEN page_id % 4 = 1 THEN 'accuracy' ELSE 'speed' END AS js_strategy,
   CASE WHEN page_id % 5 = 2 THEN CAST(130 AS INT)
-       ELSE CAST(NULL AS INT) END AS timeout_ms
+       ELSE CAST(NULL AS INT) END AS timeout_ms,
+  CASE WHEN page_id % 7 = 3 THEN CAST(0 AS INT)
+       ELSE CAST(NULL AS INT) END AS retries
 FROM g_pages
 """
 

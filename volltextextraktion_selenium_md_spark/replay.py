@@ -59,8 +59,8 @@ def _load_graph(sf_dir: str) -> tuple[dict, dict, list, dict]:
     ).fetchall():
         links.setdefault(pid, []).append((doc_pos, raw_url, dst_host))
     seeds = con.execute(
-        "SELECT seed_idx, priority, raw_url, mode, js_strategy, timeout_ms "
-        "FROM g_seeds ORDER BY seed_idx"
+        "SELECT seed_idx, priority, raw_url, mode, js_strategy, timeout_ms, "
+        "retries, extract_links FROM g_seeds ORDER BY seed_idx"
     ).fetchall()
     robots = {
         r[0]: {"disallow_prefix": r[1], "crawl_delay_ms": r[2]}
@@ -148,7 +148,8 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
     # round 0 init: canonicalize seeds, first-seen dedup in seed order
     frontier: list[dict] = []
     seen: set[str] = set()
-    for seed_idx, priority, raw_url, mode, js_strategy, timeout_ms in seeds:
+    for (seed_idx, priority, raw_url, mode, js_strategy, timeout_ms,
+         retries, extract_links) in seeds:
         url = canonicalize_one(raw_url)
         if url in seen:
             continue
@@ -162,6 +163,8 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
             "mode": mode,
             "js_strategy": js_strategy,
             "timeout_ms": timeout_ms,
+            "retries": retries,
+            "extract_links": extract_links,
             "attempt": 0,
         })
 
@@ -214,7 +217,12 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                 cap = row.get("timeout_ms")
                 timed_out = cost > (cap if cap is not None else cfg.timeout_ms)
                 if page["status"] in cfg.retryable_statuses or timed_out:
-                    outcome = "retry" if row["attempt"] < cfg.retries else "failed"
+                    # per-request retry budget (NULL = config), same
+                    # coalesce as plans/fetch.py's req_retries
+                    budget = row.get("retries")
+                    if budget is None:
+                        budget = cfg.retries
+                    outcome = "retry" if row["attempt"] < budget else "failed"
                 elif page["status"] >= 400:
                     outcome = "failed"
                 else:
@@ -238,6 +246,9 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                 outcome == "fetched"
                 and page["content_type"].startswith("text/html")
                 and row["depth"] < cfg.max_depth
+                # per-request extract_links gate: False = leaf (NULL /
+                # absent = crawl default, expand) — plans/frontier.py
+                and row.get("extract_links") is not False
             ):
                 for doc_pos, raw_url, dst_host in links.get(page["page_id"], []):
                     children.append({
@@ -251,6 +262,8 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                         # is per-request, schemas.py:85-104)
                         "js_strategy": row["js_strategy"],
                         "timeout_ms": row.get("timeout_ms"),
+                        "retries": row.get("retries"),
+                        "extract_links": row.get("extract_links"),
                         "attempt": 0,
                     })
 
