@@ -400,3 +400,30 @@ def test_convert_trafilatura_clean_toggle():
         forced_converter="main", trafilatura_clean=False,
     )
     assert conv == "main" and "outside main" in md_forced_raw
+
+
+def test_near_dup_degenerate_bucket_capped(spark):
+    """cosine_near_dup_pairs must not go quadratic on a degenerate LSH
+    bucket: K identical vectors all collide in every table; with
+    max_bucket=5 the pair list is C(5,2)=10, not C(K,2). The cut is the
+    same per-(tbl,bucket) rank window as minhash_lsh_pairs."""
+    from volltextextraktion_selenium_md_spark.operators.simsearch import (
+        cosine_near_dup_pairs,
+    )
+
+    vec = [1.0] + [0.0] * 63
+    rows = [(i, [float(v) for v in vec]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    pairs = cosine_near_dup_pairs(
+        emb, threshold=0.9, num_planes=6, dim=64, num_tables=4, max_bucket=5
+    ).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    # exactly the C(5,2) pairs among the 5 smallest vec_ids
+    want = {(a, b) for a in range(5) for b in range(5) if a < b}
+    assert got == want
+    assert all(abs(r["cos"] - 1.0) < 1e-6 for r in pairs)
+    # uncut control at the same shape stays quadratic — the cut is load-bearing
+    uncut = cosine_near_dup_pairs(
+        emb, threshold=0.9, num_planes=6, dim=64, num_tables=4, max_bucket=1000
+    ).count()
+    assert uncut == 190

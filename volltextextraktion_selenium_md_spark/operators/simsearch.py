@@ -297,15 +297,32 @@ def cosine_near_dup_pairs(
     num_planes: int = 6,
     dim: int = 64,
     num_tables: int = 4,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs (cos >= threshold), multi-table
     LSH-bucketed to avoid the quadratic self-join; exact cosine
-    verifies candidates."""
+    verifies candidates.
+
+    Scale bound: per (tbl, bucket) only the `max_bucket` smallest
+    vec_ids participate in pairing (same deterministic rank cut as
+    minhash_lsh_pairs / simhash_dup_pairs, mirrored in the DuckDB
+    oracle) — a degenerate bucket of K vectors would otherwise emit
+    K²/2 candidate rows. Pairs beyond the cut inside a giant bucket
+    are intentionally not enumerated; route oversized near-dup
+    components through a cluster operator (minhash_lsh_clusters
+    pattern: star edges + pointer jumping, linear in K) instead of
+    materializing the quadratic pair list."""
     base = with_norm(embeddings)
     banded = lsh_banded(base.select("vec_id", "embedding"), num_planes, dim, num_tables)
+    wb = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["tbl", "bucket"])
+        capped.alias("x")
+        .join(capped.alias("y"), ["tbl", "bucket"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")

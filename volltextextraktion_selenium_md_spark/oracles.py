@@ -1145,9 +1145,15 @@ def sql_embedding_near_dup() -> str:
     return f"""
 WITH norm AS ({_NORM_CTE}),
 banded AS ({_banded_cte(Q.NEAR_PLANES, Q.NEAR_TABLES)}),
+capped AS (
+  SELECT vec_id, e, n, tbl, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+    FROM banded
+  ) WHERE rn <= {Q.NEAR_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-  FROM banded x JOIN banded y
+  FROM capped x JOIN capped y
     ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
 SELECT c.vec_a, c.vec_b,

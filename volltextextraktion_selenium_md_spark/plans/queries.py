@@ -49,6 +49,7 @@ EMB_DIM = 64
 NEAR_DUP_T = 0.2
 NEAR_PLANES = 6
 NEAR_TABLES = 4
+NEAR_MAX_BUCKET = 64
 
 
 def _g(spark: SparkSession, sf_dir: str) -> None:
@@ -745,7 +746,8 @@ def q_ivf_topk(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     return simsearch.cosine_near_dup_pairs(
-        _embs(spark, sf_dir), NEAR_DUP_T, NEAR_PLANES, EMB_DIM, NEAR_TABLES
+        _embs(spark, sf_dir), NEAR_DUP_T, NEAR_PLANES, EMB_DIM, NEAR_TABLES,
+        max_bucket=NEAR_MAX_BUCKET,
     )
 
 
