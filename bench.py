@@ -50,6 +50,7 @@ def _materialize(df) -> int:
 
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    _load0 = os.getloadavg()[0]
     spark = get_spark(app_name="bench")
 
     # warm-up: JVM/codegen/Arrow init on the ACTUAL engine code paths —
@@ -64,6 +65,10 @@ def main() -> None:
             spark, warm_dir, cfg=CrawlConfig(max_rounds=2),
             collect_round_counts=False,
         ).run().fetch_log.count()
+        # the warm-up engine persisted the warm-dir pages/links/robots
+        # relations; drop them so warm-up data doesn't occupy executor
+        # storage memory during the measured runs
+        spark.catalog.clearCache()
     else:
         spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
 
@@ -111,10 +116,26 @@ def main() -> None:
         name: getattr(Q, f"q_{name}")
         for name in suite
     }
+    # contention-proofing (round-5 verdict: a noisy shared-host window
+    # published 10x numbers as the round's record): each operator runs
+    # SUITE_REPS times, the reported timing is the MEDIAN, and the
+    # per-query loadavg + rep spread ride along so a contaminated rep
+    # is visible in the artifact instead of silently becoming the
+    # headline. The flagship crawl stays single-run here — it has
+    # committed multi-rep fresh-JVM evidence in BENCH_RUNS_r*.jsonl.
+    reps = int(os.environ.get("SPARK_GRAFT_SUITE_REPS", "3"))
+    query_loadavg: dict[str, float] = {}
+    query_spread: dict[str, list[float]] = {}
     for name, fn in qmap.items():
-        t0 = time.time()
-        _materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        query_loadavg[name] = round(os.getloadavg()[0], 1)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            _materialize(fn(spark, SF_DIR))
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        query_spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -123,6 +144,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "suite_reps": reps,
+        "query_loadavg": query_loadavg,
+        "query_spread": query_spread,
+        "loadavg_start": round(_load0, 1),
         **extras,
     }
     print(json.dumps(out))

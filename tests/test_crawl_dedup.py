@@ -50,9 +50,17 @@ def test_crawl_then_dedup_matches_independent_recompute(spark):
         if p["page_id"] in seen_pids:
             continue
         seen_pids.add(p["page_id"])
+        # resolve the convert stage with THAT lineage's inherited
+        # request settings (html_converter / media_policy / max_bytes /
+        # trafilatura_clean ride the frontier from g_seeds), exactly as
+        # the engine's convert_stage reads them per row
+        mb = row.get("max_bytes")
         md, _, _ = convert_bytes(
             int(p["page_id"]), p["content_type"], mint_payload(p),
-            _Breaker(), cfg.max_bytes,
+            _Breaker(), int(mb) if mb is not None else cfg.max_bytes,
+            media_policy=row.get("media_policy") or cfg.media_policy,
+            forced_converter=row.get("html_converter"),
+            trafilatura_clean=row.get("trafilatura_clean"),
         )
         docs_py.append((int(p["page_id"]), md))
 

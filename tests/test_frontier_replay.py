@@ -248,15 +248,29 @@ def test_live_fetch_with_convert(spark):
     ).run()
     conv = {r["url"]: r for r in res.conversions.collect()}
     assert len(conv) > 0
-    # pick a fetched html page and recompute its conversion directly
+    # pick a fetched html page and recompute its conversion directly,
+    # resolving the per-request convert settings that lineage inherited
+    # from its seed (the replay carries every request column)
+    from volltextextraktion_selenium_md_spark.replay import replay_crawl
+
+    rep_rows = {
+        r["url"]: r for r in replay_crawl(SF_SMALL, cfg).crawl_order
+        if r["outcome"] == "fetched"
+    }
     probe_url = next(
         u for u, p in pages.items()
-        if u in conv and p["content_type"].startswith("text/html")
+        if u in conv and u in rep_rows
+        and p["content_type"].startswith("text/html")
     )
     raw = factory()(probe_url, "ua", 1.0, cfg.max_bytes)[2]
+    req = rep_rows[probe_url]
+    mb = req.get("max_bytes")
     want_md, want_conv, _ = convert_bytes(
         conv[probe_url]["page_id"], pages[probe_url]["content_type"], raw,
-        _Breaker(), cfg.max_bytes,
+        _Breaker(), int(mb) if mb is not None else cfg.max_bytes,
+        media_policy=req.get("media_policy") or cfg.media_policy,
+        forced_converter=req.get("html_converter"),
+        trafilatura_clean=req.get("trafilatura_clean"),
     )
     assert conv[probe_url]["markdown"] == want_md
     assert conv[probe_url]["converter_used"] == want_conv
@@ -382,3 +396,59 @@ def test_extract_links_false_makes_leaf(spark):
     # first reached THROUGH a gated lineage (different shortest path)
     still = {l: o for l, o in gated.items() if l in base}
     assert all(base[l] == o for l, o in still.items())
+
+
+def test_engine_request_surface_steers_convert_and_llm(spark):
+    """The FULL per-request surface rides the engine's frontier
+    (REQUEST_COLS): seeds injected with convert/LLM overrides steer
+    those stages row-wise for the seed's whole subtree — children
+    inherit every column (reference re-POST semantics,
+    app/schemas.py:44-226, resolution app/main.py:305-310)."""
+    from pyspark.sql import functions as F
+
+    from volltextextraktion_selenium_md_spark import graph
+
+    graph.register_graph_views(spark, SF_SMALL)
+    cfg = CrawlConfig(max_rounds=3)
+    eng = CrawlEngine(spark, SF_SMALL, cfg, with_convert=True, with_llm=True)
+    eng.seeds = (
+        graph.seeds(spark)
+        .withColumn("html_converter", F.lit("strip"))
+        .withColumn("max_bytes", F.lit(60))
+        .withColumn("trafilatura_clean", F.lit(False))
+        .withColumn("llm_postprocess", F.lit(True))
+        .withColumn("llm_prompt", F.lit("PROMPTTAG den Text bitte"))
+    )
+    res = eng.run()
+
+    fetched = {
+        r["url"]: r for r in res.fetch_log
+        .filter("outcome = 'fetched'").collect()
+    }
+    conv = {r["url"]: r for r in res.conversions.collect()}
+    assert conv
+
+    html_urls = [
+        u for u, r in fetched.items()
+        if (r["content_type"] or "").startswith("text/html") and u in conv
+    ]
+    assert html_urls
+    # forced tier reaches EVERY html conversion (depth 0 and children);
+    # 60-byte payload cap kills the kmap gate, so no kmap override
+    assert all(conv[u]["converter_used"] == "strip" for u in html_urls)
+    # per-request max_bytes=60 truncates every minted html payload
+    assert all(conv[u]["truncated"] for u in html_urls)
+    # children (depth >= 1) inherited the overrides, not just seeds
+    child_html = [u for u in html_urls if fetched[u]["depth"] >= 1]
+    assert child_html, "need inherited children to prove inheritance"
+    # the llm_prompt override reaches the LLM stage row-wise: parse-ok
+    # transport shapes (page_id % 5 in 0..2) lead with the prompt tag
+    tagged = [
+        r for r in res.conversions.collect()
+        if r["llm"] is not None and r["page_id"] % 5 in (0, 1, 2)
+    ]
+    assert tagged
+    assert all(
+        r["llm"]["cleaned_markdown"].startswith("PROMPTTAG ")
+        for r in tagged
+    )

@@ -290,3 +290,39 @@ def test_resume_bloom_blob_seeds_first_round(spark, ckpt_dir):
     assert bf.contains(h1, h2).all()   # blob covers the committed seen
     res = CrawlEngine(spark, SF, checkpoint_dir=ckpt_dir, use_bloom=True).run()
     assert _decisions(res) == ref
+
+
+def test_resume_from_pre_request_surface_checkpoint(spark, ckpt_dir):
+    """A checkpoint written before the per-request columns existed must
+    resume: the engine backfills every missing REQUEST_COL with its
+    reference default / NULL sentinel (round-5 ADVICE — the round loop
+    selects all of them, so a partial frontier raised
+    AnalysisException). Crawl ordering is unaffected because the
+    synthetic mints for the backfilled columns are ordering-neutral."""
+    full = CrawlEngine(spark, SF).run()
+    ref = _decisions(full)
+
+    CrawlEngine(
+        spark, SF, cfg=CrawlConfig(max_rounds=3), checkpoint_dir=ckpt_dir
+    ).run()
+    store = SnapshotStore(ckpt_dir)
+    v = store.latest()
+    # simulate the old layout: strip EVERY post-v1 request column from
+    # the stored frontier (keep mode/js_strategy/llm_anonymize — the
+    # oldest layout that ever shipped)
+    legacy = store.read(spark, "frontier").drop(
+        "timeout_ms", "retries", "llm_postprocess", "extract_links",
+        "html_converter", "media_policy", "max_bytes",
+        "trafilatura_clean", "proxy", "allow_insecure_ssl", "llm_prompt",
+    ).localCheckpoint()
+    path = os.path.join(ckpt_dir, f"v{v}", "frontier.parquet")
+    shutil.rmtree(path)
+    legacy.write.mode("overwrite").parquet(path)
+
+    res = CrawlEngine(spark, SF, checkpoint_dir=ckpt_dir).run()
+    got = _decisions(res)
+    # the minted g_seeds values for the stripped columns are ordering-
+    # neutral EXCEPT where a default flips behavior; with all-true
+    # extract_links and never-tripping timeout/retries mints, the
+    # resumed crawl must equal the uninterrupted one exactly
+    assert got == ref

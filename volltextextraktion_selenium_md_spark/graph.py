@@ -157,7 +157,37 @@ SELECT
   -- true — minted all-true so the crawl workload is identical across
   -- rounds; the false path is engine-gated and pytest-exercised with
   -- injected seeds)
-  TRUE AS extract_links
+  TRUE AS extract_links,
+  -- per-request forced HTML tier (reference html_converter,
+  -- schemas.py:44-53; NULL = automatic chain). The seed's whole
+  -- subtree inherits it (a crawl client re-POSTs children with the
+  -- parent's request), so conversions for these lineages use the
+  -- forced tier — steers convert only, never crawl ordering
+  CASE s.seed_idx % 11 WHEN 5 THEN 'full' WHEN 9 THEN 'strip'
+       ELSE NULL END AS html_converter,
+  -- per-request media policy (media_conversion_policy; NULL = config)
+  CASE WHEN s.seed_idx % 13 = 6 THEN 'metadata' ELSE NULL END AS media_policy,
+  -- per-request body cap (schemas.py:156-170; NULL = config). 200000
+  -- never truncates oracle-scale minted payloads, so golden markdown
+  -- is unaffected; truncating values are exercised by the
+  -- truncate_text oracle's per-row override cases and pytest
+  CASE WHEN s.seed_idx % 17 = 7 THEN CAST(200000 AS INT)
+       ELSE CAST(NULL AS INT) END AS max_bytes,
+  -- per-request trafilatura_clean_markdown (schemas.py:55-63; NULL =
+  -- config TRUE): FALSE subtrees take the raw full-DOM text through
+  -- the trafilatura tier
+  CASE WHEN s.seed_idx % 19 = 4 THEN FALSE
+       ELSE CAST(NULL AS BOOLEAN) END AS trafilatura_clean,
+  -- per-request proxy / TLS override (schemas.py:105-115): live
+  -- transport inputs; inert under the simulated fetch
+  CASE WHEN s.seed_idx % 23 = 8 THEN 'proxy.example.com:8080'
+       ELSE NULL END AS proxy,
+  CASE WHEN s.seed_idx % 29 = 11 THEN TRUE
+       ELSE CAST(NULL AS BOOLEAN) END AS allow_insecure_ssl,
+  -- per-request LLM prompt override (llm_clean_prompt,
+  -- schemas.py:206-226; NULL = default template)
+  CASE WHEN s.seed_idx % 31 = 13 THEN 'ZUSAMMENFASSUNG der Seite bitte'
+       ELSE NULL END AS llm_prompt
 FROM (
   SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS seed_idx,
          CAST(c_custkey % 3 AS INT) AS priority,

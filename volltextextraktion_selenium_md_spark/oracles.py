@@ -34,13 +34,22 @@ from volltextextraktion_selenium_md_spark.plans import queries as Q
 
 # --- shared CTE fragments ----------------------------------------------------
 
+# full per-request surface carried by every frontier row (mirror of
+# plans/frontier.py REQUEST_COLS; frontier_init hash-checks them all)
+_REQ_SQL_COLS = (
+    "mode, js_strategy, llm_anonymize, timeout_ms, retries, "
+    "llm_postprocess, extract_links, html_converter, media_policy, "
+    "max_bytes, trafilatura_clean, proxy, allow_insecure_ssl, llm_prompt"
+)
+
 F_INIT = f"""
-SELECT url, host, depth, lineage, priority FROM (
-  SELECT canon AS url, host, 0 AS depth, lineage, priority,
+SELECT url, host, depth, lineage, priority, {_REQ_SQL_COLS} FROM (
+  SELECT canon AS url, host, 0 AS depth, lineage, priority, {_REQ_SQL_COLS},
          row_number() OVER (PARTITION BY canon ORDER BY lineage) AS rn
   FROM (
     SELECT {canon_sql("raw_url")} AS canon, host,
-           lpad(CAST(seed_idx AS STRING), 6, '0') AS lineage, priority
+           lpad(CAST(seed_idx AS STRING), 6, '0') AS lineage, priority,
+           {_REQ_SQL_COLS}
     FROM g_seeds) s0
 ) s1 WHERE rn = 1
 """
@@ -624,11 +633,9 @@ def sql_converter_route() -> str:
         "7 + length(CAST(page_id AS STRING)) + "
         "CASE WHEN text_len > 0 THEN 2 + text_len ELSE 0 END"
     )
-    forced = Q.HTML_CONVERTER_CASE
-    return (
-        _with({})
-        + f"""
-SELECT page_id,
+
+    def tier(forced: str) -> str:
+        return f"""
   CASE
     WHEN content_type LIKE 'image/%' THEN 'image'
     WHEN content_type LIKE 'application/octet-stream%' THEN 'bypass'
@@ -643,8 +650,22 @@ SELECT page_id,
     WHEN ({forced}) IS NOT NULL THEN ({forced})
     WHEN has_main AND ({main_len}) >= 80 THEN 'main'
     ELSE 'full'
-  END AS converter_used
-FROM g_pages
+  END AS converter_used"""
+
+    # section 2 reads the forced tier FROM THE FRONTIER (f_init's
+    # html_converter, minted in g_seeds and carried engine-wide) —
+    # same derivation, per-request source
+    return (
+        _with({"f_init": F_INIT})
+        + f"""
+SELECT page_id, converter_used, 'cases' AS src
+FROM (SELECT page_id, {tier(Q.HTML_CONVERTER_CASE)} FROM g_pages) c
+UNION ALL
+SELECT page_id, converter_used, 'frontier' AS src
+FROM (
+  SELECT page_id, {tier("html_converter")}
+  FROM g_pages JOIN f_init USING (url)
+) fr
 """
     )
 
@@ -659,10 +680,7 @@ def sql_llm_postprocess() -> str:
     from volltextextraktion_selenium_md_spark.plans.llm import CONTENT_MIN_CHARS
 
     tag = "CASE WHEN llm_prompt IS NOT NULL THEN split_part(trim(llm_prompt), ' ', 1) ELSE 'CLEANED' END"
-    return (
-        _with({"llm_cases": Q.LLM_CASES_BODY})
-        + f"""
-SELECT page_id,
+    sel = f"""
   CASE WHEN NOT llm_go THEN NULL
        WHEN page_id % 5 = 3 THEN 'Here is the cleaned text:' || chr(10) || ({tag}) || ' ' || markdown
        WHEN page_id % 5 = 4 THEN markdown
@@ -674,10 +692,24 @@ SELECT page_id,
        WHEN length(markdown) >= {CONTENT_MIN_CHARS} THEN 'Bildungsinhalt'
        ELSE 'Metabeschreibung' END AS classification,
   CASE WHEN NOT llm_go THEN NULL
-       ELSE page_id % 2 = 0 END AS anonymized,
+       ELSE anonymize END AS anonymized,
   CASE WHEN NOT llm_go OR page_id % 5 = 4 THEN NULL
-       ELSE CAST(floor(length(markdown) / 4) AS INTEGER) END AS tokens_used
-FROM llm_cases
+       ELSE CAST(floor(length(markdown) / 4) AS INTEGER) END AS tokens_used"""
+    # section 2 re-derives with the LLM settings FROM THE FRONTIER
+    # (f_init's llm_anonymize / llm_postprocess / llm_prompt)
+    return (
+        _with({"llm_cases": Q.LLM_CASES_BODY, "f_init": F_INIT})
+        + f"""
+SELECT page_id, {sel}, 'cases' AS src FROM llm_cases
+UNION ALL
+SELECT page_id, {sel}, 'frontier' AS src FROM (
+  SELECT p.page_id, p.status,
+         'doc ' || CAST(p.page_id AS STRING)
+           || repeat(' w', p.page_id % 400) AS markdown,
+         f.llm_anonymize AS anonymize, f.llm_prompt,
+         f.llm_postprocess AS llm_go
+  FROM g_pages p JOIN f_init f USING (url)
+) fr
 """
     )
 

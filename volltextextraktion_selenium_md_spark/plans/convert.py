@@ -594,6 +594,10 @@ CONVERT_SCHEMA = T.StructType([
     # input has no such column
     T.StructField("llm_anonymize", T.BooleanType(), True),
     T.StructField("llm_postprocess", T.BooleanType(), True),
+    # per-request llm_clean_prompt override (reference schemas.py:
+    # 206-226): rides through so llm_postprocess_stage's auto-detected
+    # llm_prompt column steers the prompt row-wise; NULL = default
+    T.StructField("llm_prompt", T.StringType(), True),
     T.StructField("image_id", T.StringType(), True),
     T.StructField("image_bytes", T.BinaryType(), True),
     T.StructField("w", T.IntegerType(), True),
@@ -645,6 +649,7 @@ def convert_stage(
     has_llm_gate_col = "llm_postprocess" in fetched.columns
     has_maxb_col = "max_bytes" in fetched.columns
     has_clean_col = "trafilatura_clean" in fetched.columns
+    has_prompt_col = "llm_prompt" in fetched.columns
 
     scale = cfg.payload_scale
 
@@ -704,6 +709,9 @@ def convert_stage(
                     if has_llm_gate_col and row["llm_postprocess"] is not None
                     else None
                 )
+                out["llm_prompt"].append(
+                    row["llm_prompt"] if has_prompt_col else None
+                )
                 if minted and ctype.startswith("image/"):
                     p = codec.make_payload_row(int(pid))
                     out["image_id"].append(p["image_id"])
@@ -731,7 +739,8 @@ def convert_stage(
     cols = cols + [
         c for c in (
             "media_policy", "html_converter", "llm_anonymize",
-            "llm_postprocess", "max_bytes", "trafilatura_clean",
+            "llm_postprocess", "llm_prompt", "max_bytes",
+            "trafilatura_clean",
         )
         if c in fetched.columns and c not in cols
     ]

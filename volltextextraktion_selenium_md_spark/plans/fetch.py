@@ -50,8 +50,14 @@ def _sim_exprs(
 ) -> dict:
     from pyspark import SparkContext
 
+    sc = SparkContext._active_spark_context
+    # stable context identity: a stopped+restarted context can reuse the
+    # same id() (the old object gets GC'd), which would hand back cached
+    # Column trees holding py4j refs into the torn-down gateway;
+    # applicationId+startTime are unique per context lifetime
+    ctx_key = (sc.applicationId, sc.startTime) if sc is not None else None
     key = (
-        id(SparkContext._active_spark_context), has_js_strategy, has_timeout,
+        ctx_key, has_js_strategy, has_timeout,
         has_retries,
         cfg.http_only_text_len, cfg.js_light_thin_text_len,
         cfg.second_chance_text_len, cfg.js_accuracy_extra_ms,
@@ -346,9 +352,18 @@ def live_decisions(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
 
     retryable = F.col("status_code").isin(list(cfg.retryable_statuses))
+    # per-request retries must gate the ROUND-LOOP requeue too, not just
+    # the in-partition transport loop — otherwise a live retries=0 row
+    # with a retryable status requeues, diverging from the simulated
+    # path / oracle / replay which all coalesce the per-row budget
+    req_retries = (
+        F.coalesce(F.col("retries"), F.lit(cfg.retries))
+        if "retries" in fetched.columns
+        else F.lit(cfg.retries)
+    )
     outcome = (
         F.when(F.col("error").isNotNull(), "failed")
-        .when(retryable & (F.col("attempt") < cfg.retries), "retry")
+        .when(retryable & (F.col("attempt") < req_retries), "retry")
         .when(retryable, "failed")
         .when(F.col("status_code") >= 400, "failed")
         .otherwise("fetched")
@@ -381,14 +396,19 @@ LINKS_SCHEMA = (
     "p_url string, p_depth int, p_lineage string, p_priority int, "
     "p_mode string, p_js_strategy string, p_llm_anonymize boolean, "
     "p_timeout_ms int, p_retries int, p_llm_postprocess boolean, "
-    "p_extract_links boolean, doc_pos int, raw_url string, text string"
+    "p_extract_links boolean, p_html_converter string, "
+    "p_media_policy string, p_max_bytes int, p_trafilatura_clean boolean, "
+    "p_proxy string, p_allow_insecure_ssl boolean, p_llm_prompt string, "
+    "doc_pos int, raw_url string, text string"
 )
 
 # request-settings columns a parent hands to its children (mirror of
 # plans/frontier.py REQUEST_COLS; kept here to avoid a circular import)
 _REQ_COLS = (
     "mode", "js_strategy", "llm_anonymize", "timeout_ms", "retries",
-    "llm_postprocess", "extract_links",
+    "llm_postprocess", "extract_links", "html_converter", "media_policy",
+    "max_bytes", "trafilatura_clean", "proxy", "allow_insecure_ssl",
+    "llm_prompt",
 )
 
 

@@ -79,11 +79,48 @@ from volltextextraktion_selenium_md_spark.plans.fetch import (
 
 # per-request settings every frontier row carries (reference
 # CrawlRequest, app/schemas.py); a crawl loop re-POSTs children with
-# the parent request's settings, so children inherit all of them
+# the parent request's settings, so children inherit all of them.
+# Column -> reference field: html_converter (schemas.py:44-53),
+# media_policy (media_conversion_policy, :156-170 area), max_bytes
+# (:156-170), trafilatura_clean (trafilatura_clean_markdown, :55-63),
+# proxy / allow_insecure_ssl (:105-115), llm_prompt (llm_clean_prompt,
+# :206-226). Each is resolved per-request at its stage: convert reads
+# html_converter/media_policy/max_bytes/trafilatura_clean
+# (plans/convert.py), the live transport reads
+# proxy/allow_insecure_ssl/timeout_ms/max_bytes/retries
+# (plans/fetch.py), the LLM stage reads
+# llm_anonymize/llm_postprocess/llm_prompt (plans/llm.py).
 REQUEST_COLS = [
     "mode", "js_strategy", "llm_anonymize", "timeout_ms", "retries",
-    "llm_postprocess", "extract_links",
+    "llm_postprocess", "extract_links", "html_converter", "media_policy",
+    "max_bytes", "trafilatura_clean", "proxy", "allow_insecure_ssl",
+    "llm_prompt",
 ]
+
+# (spark type, default) for request columns absent from an input — a
+# bare seed frame or a checkpoint written before the column existed.
+# Defaults are the REFERENCE request defaults where it has one
+# (js_strategy 'speed', llm_anonymize/llm_postprocess false; extract_
+# links true is the crawl default — a crawl means following links);
+# NULL where NULL means "resolve against global config at the stage"
+# (timeout_ms, retries, max_bytes, trafilatura_clean,
+# allow_insecure_ssl) or "not set" (html_converter, media_policy,
+# proxy, llm_prompt). 'mode' is required input and has no default.
+REQUEST_COL_DEFAULTS: dict[str, tuple[str, object]] = {
+    "js_strategy": ("string", "speed"),
+    "llm_anonymize": ("boolean", False),
+    "timeout_ms": ("int", None),
+    "retries": ("int", None),
+    "llm_postprocess": ("boolean", False),
+    "extract_links": ("boolean", True),
+    "html_converter": ("string", None),
+    "media_policy": ("string", None),
+    "max_bytes": ("int", None),
+    "trafilatura_clean": ("boolean", None),
+    "proxy": ("string", None),
+    "allow_insecure_ssl": ("boolean", None),
+    "llm_prompt": ("string", None),
+}
 
 FRONTIER_COLS = [
     "url", "host", "depth", "lineage", "priority", *REQUEST_COLS,
@@ -163,51 +200,24 @@ def init_frontier(spark: SparkSession, seeds_df: DataFrame | None = None) -> Dat
     seed order (reference's per-page order-preserving dedup semantics,
     app/utils.py:48-55, applied to the seed list)."""
     src = seeds_df if seeds_df is not None else graph.seeds(spark)
-    js_strategy = (
-        F.col("js_strategy") if "js_strategy" in src.columns
-        else F.lit("speed")  # reference default (schemas.py js_strategy)
-    )
-    llm_anonymize = (
-        F.col("llm_anonymize") if "llm_anonymize" in src.columns
-        else F.lit(False)  # reference default (schemas.py:205 llm_anonymize)
-    )
-    timeout_ms = (
-        # per-request timeout override; NULL = global cfg.timeout_ms
-        # (reference schemas.py:116-128)
-        F.col("timeout_ms") if "timeout_ms" in src.columns
-        else F.lit(None).cast("int")
-    )
-    retries = (
-        # per-request retry budget; NULL = global cfg.retries
-        # (reference schemas.py:130-141)
-        F.col("retries") if "retries" in src.columns
-        else F.lit(None).cast("int")
-    )
-    llm_postprocess = (
-        # per-request LLM gate (reference schemas.py:194-204, default
-        # false — the LLM stage only runs where the request asked)
-        F.col("llm_postprocess") if "llm_postprocess" in src.columns
-        else F.lit(False)
-    )
-    extract_links = (
-        # per-request link-extraction gate (reference schemas.py:
-        # 171-192). The reference default is false, but a CRAWL means
-        # following links, so absent the column every row expands —
-        # a false row is a leaf (fetched + converted, no children)
-        F.col("extract_links") if "extract_links" in src.columns
-        else F.lit(True)
-    )
+    # every REQUEST_COL rides from the seed frame when present; absent
+    # columns take the reference request default / NULL-means-config
+    # sentinel from REQUEST_COL_DEFAULTS (see its comment for the
+    # per-field reference citations)
+    req_exprs = [F.col("mode")]
+    for name in REQUEST_COLS:
+        if name == "mode":
+            continue
+        if name in src.columns:
+            req_exprs.append(F.col(name))
+        else:
+            dtype, default = REQUEST_COL_DEFAULTS[name]
+            req_exprs.append(F.lit(default).cast(dtype).alias(name))
     seeds = src.select(
         canonicalize_url(F.col("raw_url")).alias("url"),
         F.col("seed_idx"),
         F.col("priority"),
-        F.col("mode"),
-        js_strategy.alias("js_strategy"),
-        llm_anonymize.alias("llm_anonymize"),
-        timeout_ms.alias("timeout_ms"),
-        retries.alias("retries"),
-        llm_postprocess.alias("llm_postprocess"),
-        extract_links.alias("extract_links"),
+        *req_exprs,
     )
     f = seeds.select(
         "url",
@@ -476,10 +486,18 @@ class CrawlEngine:
         ``blocking=False`` and the bulk thread holds the conf lock —
         compaction timing is a perf detail, so the caller just retries
         next round (bounded by the force cap at the call site)."""
-        if n_hint >= self.seen_partitioned_min_rows:
-            self._seen_partitioned = True
-        if self._seen_partitioned:
-            return self._ckpt_partitioned(df, blocking=blocking)
+        if self._seen_partitioned or n_hint >= self.seen_partitioned_min_rows:
+            out = self._ckpt_partitioned(df, blocking=blocking)
+            # flip the flag only once a partitioned base actually
+            # exists: a non-blocking attempt that lost the conf-lock
+            # race returns None, and marking the layout promoted then
+            # would turn off the broadcast hint AND the promote_now
+            # retry while the base is still a plain stats-less
+            # checkpoint — up to seen_compact_every rounds of the 2x
+            # slower two-sided sort-merge anti-join
+            if out is not None:
+                self._seen_partitioned = True
+            return out
         return df.localCheckpoint()
 
     def _set_round_width(self, n_frontier: int) -> None:
@@ -602,12 +620,18 @@ class CrawlEngine:
             man = self.store.manifest()
             rnd = man["meta"]["round"] + 1
             frontier = self.store.read(self.spark, "frontier")
-            if "js_strategy" not in frontier.columns:
-                # checkpoint written before the js_strategy column
-                # existed — migrate with the reference default
-                frontier = frontier.withColumn("js_strategy", F.lit("speed"))
-            if "llm_anonymize" not in frontier.columns:
-                frontier = frontier.withColumn("llm_anonymize", F.lit(False))
+            # checkpoint written before a request column existed —
+            # backfill EVERY missing REQUEST_COL with its reference
+            # default / NULL sentinel (the round loop selects all of
+            # them: keep list, retries re-queue, the extract_links
+            # parent filter — a partial frontier would raise
+            # AnalysisException on the first round after resume)
+            for name in REQUEST_COLS:
+                if name != "mode" and name not in frontier.columns:
+                    dtype, default = REQUEST_COL_DEFAULTS[name]
+                    frontier = frontier.withColumn(
+                        name, F.lit(default).cast(dtype)
+                    )
             frontier = frontier.localCheckpoint()
             # seen set = BASE + DELTAS: above the volume threshold the
             # base is kept hash(url)-partitioned + sorted through its
@@ -795,7 +819,7 @@ class CrawlEngine:
                     co = conv_df.select(
                         "url", "page_id", "markdown", "markdown_length",
                         "converter_used", "truncated", "llm_anonymize",
-                        "llm_postprocess",
+                        "llm_postprocess", "llm_prompt",
                     ).withColumn(
                         "error_page_detected",
                         error_page_detected(

@@ -67,8 +67,15 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- frontier / crawl-engine steps ------------------------------------------
 
 def q_frontier_init(spark, sf_dir):
+    """F2 seed init — emits the FULL per-request surface (all
+    REQUEST_COLS) so the oracle hash-checks that every CrawlRequest
+    field lands on the engine's frontier from g_seeds verbatim."""
+    from volltextextraktion_selenium_md_spark.plans.frontier import REQUEST_COLS
+
     _g(spark, sf_dir)
-    return init_frontier(spark).select("url", "host", "depth", "lineage", "priority")
+    return init_frontier(spark).select(
+        "url", "host", "depth", "lineage", "priority", *REQUEST_COLS
+    )
 
 
 def q_canonicalize_urls(spark, sf_dir):
@@ -573,18 +580,41 @@ def q_converter_route(spark, sf_dir):
     media branch (C6) and per-request html_converter forced tiers —
     and emit which converter tier produced the markdown; the oracle
     re-derives the tier from the deterministic payload rules in pure
-    SQL."""
+    SQL.
+
+    Two sections: 'cases' mints per-request overrides from a page CASE
+    (full branch coverage); 'frontier' reads them FROM THE FRONTIER —
+    init_frontier's html_converter/media_policy/max_bytes/
+    trafilatura_clean columns (minted in g_seeds, inherited engine-
+    wide) joined onto the seed pages — oracle-checking that the
+    request surface the engine's loop carries actually steers the
+    convert stage."""
     from volltextextraktion_selenium_md_spark.plans.convert import convert_stage
 
     _g(spark, sf_dir)
-    rows = graph.pages(spark).select(
+    feat = [
         "url", "page_id", "content_type", "text_len", "has_main",
         "spa_mark", "js_required", "consent", "bot_wall", "rss_link",
-    ).withColumn("media_policy", F.expr(MEDIA_POLICY_CASE)).withColumn(
-        "html_converter", F.expr(HTML_CONVERTER_CASE)
+    ]
+    rows = graph.pages(spark).select(*feat).withColumn(
+        "media_policy", F.expr(MEDIA_POLICY_CASE)
+    ).withColumn("html_converter", F.expr(HTML_CONVERTER_CASE))
+    out = convert_stage(rows, CrawlConfig()).select(
+        "page_id", "converter_used"
+    ).withColumn("src", F.lit("cases"))
+
+    # trafilatura_clean deliberately NOT selected here: its raw path
+    # flips the main-tier >=80 gate on the FULL-DOM text length, which
+    # has no closed-form SQL twin; its frontier steering is asserted by
+    # the replay-recompute crawl tests (tests/test_crawl_dedup.py)
+    fr = init_frontier(spark).select(
+        "url", "html_converter", "media_policy", "max_bytes",
     )
-    out = convert_stage(rows, CrawlConfig())
-    return out.select("page_id", "converter_used")
+    rows_fr = graph.pages(spark).select(*feat).join(fr, "url")
+    out_fr = convert_stage(rows_fr, CrawlConfig()).select(
+        "page_id", "converter_used"
+    ).withColumn("src", F.lit("frontier"))
+    return out.unionByName(out_fr)
 
 
 def q_admission_control(spark, sf_dir):
@@ -607,6 +637,16 @@ def q_llm_postprocess(spark, sf_dir):
     from volltextextraktion_selenium_md_spark.plans.llm import llm_postprocess_stage
 
     _g(spark, sf_dir)
+
+    def _flatten(staged, src):
+        return staged.select(
+            "page_id",
+            F.col("llm.cleaned_markdown").alias("cleaned_markdown"),
+            F.col("llm.classification").alias("classification"),
+            F.col("llm.anonymized").alias("anonymized"),
+            F.col("llm.tokens_used").alias("tokens_used"),
+        ).withColumn("src", F.lit(src))
+
     cases = spark.sql(LLM_CASES_BODY).withColumn(
         "error_page", F.col("status") >= 400
     )
@@ -616,13 +656,22 @@ def q_llm_postprocess(spark, sf_dir):
         # the cases didn't ask for the LLM -> NULL llm struct
         enable_col="llm_go",
     )
-    return staged.select(
-        "page_id",
-        F.col("llm.cleaned_markdown").alias("cleaned_markdown"),
-        F.col("llm.classification").alias("classification"),
-        F.col("llm.anonymized").alias("anonymized"),
-        F.col("llm.tokens_used").alias("tokens_used"),
+    # section 2: the LLM settings come FROM THE FRONTIER — the
+    # llm_anonymize / llm_postprocess / llm_prompt columns init_frontier
+    # carries (minted in g_seeds, inherited engine-wide) steer the real
+    # stage for the seed pages; the oracle re-derives from f_init
+    fr = init_frontier(spark).select(
+        "url", "llm_anonymize", "llm_postprocess", "llm_prompt"
     )
+    cases_fr = spark.sql(
+        "SELECT url, page_id, status, 'doc ' || CAST(page_id AS STRING) "
+        "|| repeat(' w', page_id % 400) AS markdown FROM g_pages"
+    ).join(fr, "url").withColumn("error_page", F.col("status") >= 400)
+    staged_fr = llm_postprocess_stage(
+        cases_fr, error_col="error_page", anonymize_col="llm_anonymize",
+        enable_col="llm_postprocess", prompt_col="llm_prompt",
+    )
+    return _flatten(staged, "cases").unionByName(_flatten(staged_fr, "frontier"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,10 +58,12 @@ def _load_graph(sf_dir: str) -> tuple[dict, dict, list, dict]:
         "ORDER BY src_page_id, doc_pos"
     ).fetchall():
         links.setdefault(pid, []).append((doc_pos, raw_url, dst_host))
-    seeds = con.execute(
-        "SELECT seed_idx, priority, raw_url, mode, js_strategy, timeout_ms, "
-        "retries, extract_links FROM g_seeds ORDER BY seed_idx"
-    ).fetchall()
+    seeds = [
+        dict(zip(_SEED_COLS, r))
+        for r in con.execute(
+            f"SELECT {', '.join(_SEED_COLS)} FROM g_seeds ORDER BY seed_idx"
+        ).fetchall()
+    ]
     robots = {
         r[0]: {"disallow_prefix": r[1], "crawl_delay_ms": r[2]}
         for r in con.execute(
@@ -71,6 +73,19 @@ def _load_graph(sf_dir: str) -> tuple[dict, dict, list, dict]:
     con.close()
     return pages, links, seeds, robots
 
+
+# full per-request surface a crawl row carries (mirror of
+# plans/frontier.py REQUEST_COLS): the loop's decisions read
+# mode/js_strategy/timeout_ms/retries/extract_links; the rest
+# (llm flags, converter overrides, transport settings) ride untouched
+# so recompute tests can resolve conversion/LLM behavior per lineage
+_REQ_COLS = (
+    "mode", "js_strategy", "llm_anonymize", "timeout_ms", "retries",
+    "llm_postprocess", "extract_links", "html_converter", "media_policy",
+    "max_bytes", "trafilatura_clean", "proxy", "allow_insecure_ssl",
+    "llm_prompt",
+)
+_SEED_COLS = ("seed_idx", "priority", "raw_url") + _REQ_COLS
 
 _SERVE = ("PDF", "RSS", "HTTP_ONLY", "YOUTUBE")
 
@@ -148,9 +163,8 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
     # round 0 init: canonicalize seeds, first-seen dedup in seed order
     frontier: list[dict] = []
     seen: set[str] = set()
-    for (seed_idx, priority, raw_url, mode, js_strategy, timeout_ms,
-         retries, extract_links) in seeds:
-        url = canonicalize_one(raw_url)
+    for s in seeds:
+        url = canonicalize_one(s["raw_url"])
         if url in seen:
             continue
         seen.add(url)
@@ -158,13 +172,9 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
             "url": url,
             "host": urlsplit(url).hostname,
             "depth": 0,
-            "lineage": f"{seed_idx:06d}",
-            "priority": priority,
-            "mode": mode,
-            "js_strategy": js_strategy,
-            "timeout_ms": timeout_ms,
-            "retries": retries,
-            "extract_links": extract_links,
+            "lineage": f"{s['seed_idx']:06d}",
+            "priority": s["priority"],
+            **{c: s[c] for c in _REQ_COLS},
             "attempt": 0,
         })
 
@@ -233,8 +243,10 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                 "url": row["url"],
                 "depth": row["depth"],
                 "lineage": row["lineage"],
-                "mode": row["mode"],
-                "js_strategy": row["js_strategy"],
+                # the full inherited request surface rides on every
+                # decision row so recompute tests can resolve the
+                # convert/LLM stages with THAT lineage's settings
+                **{c: row.get(c) for c in _REQ_COLS},
                 "attempt": row["attempt"],
                 "outcome": outcome,
                 "js_escalated": escalated,
@@ -257,13 +269,12 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                         "depth": row["depth"] + 1,
                         "lineage": f"{row['lineage']}.{doc_pos:02d}",
                         "priority": row["priority"],
-                        "mode": row["mode"],  # children re-POST with the
-                        # parent request's settings (reference dispatch
-                        # is per-request, schemas.py:85-104)
-                        "js_strategy": row["js_strategy"],
-                        "timeout_ms": row.get("timeout_ms"),
-                        "retries": row.get("retries"),
-                        "extract_links": row.get("extract_links"),
+                        # children re-POST with the parent request's
+                        # FULL settings (reference dispatch is
+                        # per-request, schemas.py:85-104) — every
+                        # request column inherits, including the
+                        # convert/LLM/transport overrides
+                        **{c: row.get(c) for c in _REQ_COLS},
                         "attempt": 0,
                     })
 
