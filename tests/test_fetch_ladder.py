@@ -118,3 +118,39 @@ def test_escalation_can_flip_timeout_outcome(spark):
     assert rows["thin"]["js_escalated"] is True
     assert rows["wall"]["outcome"] == "fetched"
     assert rows["wall"]["js_escalated"] is True
+
+
+def test_preflight_cap_trip_takes_blocked_fallthrough(spark):
+    """Preflight probe cap (reference app/main.py:329: probe timeout =
+    min(timeout_s, 12)): an auto-mode request whose per-row timeout_ms
+    sits below the modeled probe charge (cost_ms.HTTP_ONLY = 30) never
+    classifies — preflight_analyze maps the probe timeout to BLOCKED
+    (app/preflight.py:48-59) and the row takes the Selenium
+    fall-through: strategy BLOCKED, speed-pool escalation, the full
+    render+surcharge cost, then the request timeout judges it."""
+    pages = spark.createDataFrame(
+        [_page("https://a.example.com/ok", 1, text_len=900, main=True)],
+        PAGES_SCHEMA,
+    )
+    frontier = spark.createDataFrame(
+        [("https://a.example.com/ok", "auto", "speed", 0, 0, 10),
+         ("https://a.example.com/ok", "auto", "speed", 0, 0, None),
+         ("https://a.example.com/ok", "fast", "speed", 0, 0, 10)],
+        FRONTIER_SCHEMA + ", timeout_ms int",
+    )
+    rows = {
+        (r["mode"], r["timeout_ms"]): r
+        for r in simulated_fetch(frontier, pages, CrawlConfig()).collect()
+    }
+    tripped = rows[("auto", 10)]
+    assert tripped["strategy"] == "BLOCKED"
+    assert tripped["js_escalated"] is True          # speed wall escalates
+    assert tripped["outcome"] == "retry"            # total cost > 10ms cap
+    # same page, no override: global 30s cap -> min(30000, 12000) = 12s
+    # never trips the 30ms probe; the page classifies HTTP_ONLY
+    clean = rows[("auto", None)]
+    assert clean["strategy"] == "HTTP_ONLY" and clean["outcome"] == "fetched"
+    # fast mode never runs the probe: same 10ms timeout just times out
+    # the plain httpx fetch (no BLOCKED, no escalation)
+    fast = rows[("fast", 10)]
+    assert fast["strategy"] is None and fast["js_escalated"] is False

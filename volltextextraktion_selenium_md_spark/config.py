@@ -62,11 +62,28 @@ class CrawlConfig:
     # network-bound crawling must not cap at 1 request per core
     fetch_concurrency: int = 8
 
+    # modeled LLM postprocess latency: the reference's elapsed_ms spans
+    # the WHOLE request including the LLM call (app/main.py:466; README
+    # quotes +2-10 s when llm_postprocess is on). Deterministic per-row
+    # charge = base + (page_id % (span+1)) * step on fetched rows whose
+    # request asked for the LLM; it rides elapsed_ms ONLY — the
+    # per-request timeout governs the TRANSPORT (httpx/Selenium timeout
+    # params), so a slow LLM never 504s the request in the reference
+    # and never flips outcomes here
+    llm_cost_ms_base: int = 2000
+    llm_cost_ms_step: int = 1000
+    llm_cost_ms_span: int = 8
+
     # payload-size multiplier for minted bodies (1 = oracle-checked
     # test scale; scale benchmarks raise it so per-page convert cost is
     # web-realistic — real pages are tens of KB, real images hundreds
     # of KB, the reference pays SECONDS per page [README.md:223])
     payload_scale: int = 1
+
+    # auto-mode preflight probe timeout ceiling (reference
+    # app/main.py:329: probe timeout = min(timeout_s, 12)); a tripped
+    # probe falls through to the BLOCKED Selenium path
+    preflight_cap_ms: int = 12_000
 
     # strategy thresholds (reference app/preflight.py:119-124 and the
     # looser second-chance cut at app/main.py:343-349)

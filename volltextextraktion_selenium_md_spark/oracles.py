@@ -348,20 +348,34 @@ FROM routed
     )
 
 
-def _cost_exprs() -> tuple[str, str]:
+def _cost_exprs(probe_cap_timeout: int | None = None) -> tuple[str, str]:
     """(total_cost_sql, escalated_sql) — twin of plans/fetch.py's cost
     column: strategy midpoints, second-chance JS surcharge, mode
     overrides, the js_strategy 'accuracy' pool surcharge on any branch
     that actually renders through Selenium (incl. the BLOCKED refetch),
     and the speed->accuracy failure-ladder escalation (reference
     app/js_fetcher.py:896-946): a speed-pool render over the renderer
-    cap, or a BLOCKED one, pays the one-shot accuracy surcharge."""
+    cap, or a BLOCKED one, pays the one-shot accuracy surcharge.
+
+    probe_cap_timeout: the context's GLOBAL timeout_ms — when given,
+    mirrors the preflight 12 s cap (reference main.py:329): an
+    auto-mode row whose modeled probe charge (cost_ms.HTTP_ONLY)
+    exceeds min(coalesce(timeout_ms, global), preflight_cap_ms) takes
+    the BLOCKED fall-through instead of the classified strategy.
+    Requires a timeout_ms column in scope."""
     from volltextextraktion_selenium_md_spark.config import CrawlConfig
 
     cfg = CrawlConfig()
     x = cfg.js_accuracy_extra_ms
     acc = "(js_strategy = 'accuracy')"
     strat = _strategy_case()
+    if probe_cap_timeout is not None:
+        trip = (
+            f"({cfg.cost_ms['HTTP_ONLY']} > least("
+            f"coalesce(timeout_ms, {probe_cap_timeout}), "
+            f"{cfg.preflight_cap_ms}))"
+        )
+        strat = f"CASE WHEN {trip} THEN 'BLOCKED' ELSE {strat} END"
     sc = cfg.second_chance_text_len
     per_strategy = "\n".join(
         f"    WHEN {strat} = '{s}' THEN {ms}"
@@ -408,24 +422,34 @@ def sql_fetch_timeout() -> str:
         _with({"mode_cases": Q.MODE_CASES_BODY})
         + f"""
 , costed AS (
-  SELECT p.page_id, m.mode, m.js_strategy, m.timeout_ms, m.retries, p.status,
-         ({_cost_exprs()[0]}) AS cost,
-         ({_cost_exprs()[1]}) AS js_escalated,
+  SELECT p.page_id, m.mode, m.js_strategy, m.timeout_ms, m.retries,
+         m.llm_postprocess, p.status,
+         ({_cost_exprs(probe_cap_timeout=Q.TIMEOUT_CASE_MS)[0]}) AS cost,
+         ({_cost_exprs(probe_cap_timeout=Q.TIMEOUT_CASE_MS)[1]}) AS js_escalated,
          coalesce(m.timeout_ms, {Q.TIMEOUT_CASE_MS}) AS cap
   FROM mode_cases m JOIN g_pages p ON p.page_id = m.page_id
+),
+decided AS (
+  SELECT *,
+    CASE
+      WHEN (status IN ({retryables}) OR cost > cap)
+           AND 0 < coalesce(retries, {cfg.retries}) THEN 'retry'
+      WHEN status IN ({retryables}) OR cost > cap THEN 'failed'
+      WHEN status >= 400 THEN 'failed'
+      ELSE 'fetched'
+    END AS outcome
+  FROM costed
 )
 SELECT page_id, mode, js_strategy, timeout_ms,
-  retries AS req_retries,
-  CASE
-    WHEN (status IN ({retryables}) OR cost > cap)
-         AND 0 < coalesce(retries, {cfg.retries}) THEN 'retry'
-    WHEN status IN ({retryables}) OR cost > cap THEN 'failed'
-    WHEN status >= 400 THEN 'failed'
-    ELSE 'fetched'
-  END AS outcome,
-  js_escalated,
-  CAST(cost AS INTEGER) AS elapsed_ms
-FROM costed
+  retries AS req_retries, llm_postprocess, outcome, js_escalated,
+  -- modeled LLM latency rides elapsed_ms ONLY (reference main.py:466;
+  -- timeout_ms governs the transport, so no outcome interaction)
+  CAST(cost + CASE
+    WHEN outcome = 'fetched' AND coalesce(llm_postprocess, FALSE)
+    THEN {cfg.llm_cost_ms_base}
+         + (page_id % {cfg.llm_cost_ms_span + 1}) * {cfg.llm_cost_ms_step}
+    ELSE 0 END AS INTEGER) AS elapsed_ms
+FROM decided
 """
     )
 

@@ -46,7 +46,7 @@ _SIM_EXPRS_CACHE: dict[tuple, dict] = {}
 
 def _sim_exprs(
     cfg: CrawlConfig, has_js_strategy: bool, has_timeout: bool,
-    has_retries: bool = False,
+    has_retries: bool = False, has_llm_gate: bool = False,
 ) -> dict:
     from pyspark import SparkContext
 
@@ -58,10 +58,12 @@ def _sim_exprs(
     ctx_key = (sc.applicationId, sc.startTime) if sc is not None else None
     key = (
         ctx_key, has_js_strategy, has_timeout,
-        has_retries,
+        has_retries, has_llm_gate,
         cfg.http_only_text_len, cfg.js_light_thin_text_len,
         cfg.second_chance_text_len, cfg.js_accuracy_extra_ms,
         cfg.js_renderer_cap_ms, cfg.timeout_ms, cfg.retries,
+        cfg.llm_cost_ms_base, cfg.llm_cost_ms_step, cfg.llm_cost_ms_span,
+        cfg.preflight_cap_ms,
         tuple(sorted(cfg.cost_ms.items())),
         tuple(cfg.retryable_statuses),
     )
@@ -187,8 +189,27 @@ def _sim_exprs(
         .otherwise("fetched")
     )
 
+    # preflight probe cap (reference app/main.py:329: the auto-mode
+    # probe runs with timeout = min(timeout_s, 12); a probe timeout is
+    # an httpx.HTTPError, which preflight_analyze maps to strategy
+    # BLOCKED — the graceful fall-through to Selenium,
+    # app/preflight.py:48-59). Modeled twin: the probe's deterministic
+    # latency is the plain httpx charge (cost_ms.HTTP_ONLY); when it
+    # exceeds min(per-request timeout, preflight_cap_ms) the
+    # classification never runs and the row takes the BLOCKED ladder
+    # (Selenium render + escalation/accuracy surcharges).
+    probe_trip = F.lit(cfg.cost_ms["HTTP_ONLY"]) > F.least(
+        (
+            F.coalesce(F.col("timeout_ms"), F.lit(cfg.timeout_ms))
+            if has_timeout
+            else F.lit(cfg.timeout_ms)
+        ),
+        F.lit(cfg.preflight_cap_ms),
+    )
     exprs = {
         "strategy_when_auto": F.when(
+            (F.col("mode") == "auto") & probe_trip, F.lit("BLOCKED")
+        ).when(
             F.col("mode") == "auto", strategy_raw
         ),
         "route": route_expr,
@@ -207,6 +228,28 @@ def _sim_exprs(
         "elapsed_ms": (
             F.coalesce(cost, F.lit(0))
             + F.coalesce(F.col("sched_slot_ms"), F.lit(0))
+            # modeled LLM postprocess latency (reference app/main.py:
+            # 466: elapsed_ms spans the LLM call; README +2-10 s):
+            # deterministic per-page surcharge on fetched rows whose
+            # request asked for the LLM. elapsed ONLY — timeout_ms
+            # governs the TRANSPORT in the reference (httpx/Selenium
+            # timeout params), so the surcharge never flips outcomes.
+            # Evaluated against the OUTCOME COLUMN, which exists by the
+            # time elapsed_ms is attached (simulated_fetch ordering) —
+            # re-inlining the outcome CASE here would double the
+            # codegen size for nothing.
+            + (
+                F.when(
+                    F.coalesce(F.col("llm_postprocess"), F.lit(False))
+                    & (F.col("outcome") == "fetched"),
+                    F.lit(cfg.llm_cost_ms_base)
+                    + F.pmod(
+                        F.col("page_id"), F.lit(cfg.llm_cost_ms_span + 1)
+                    ) * F.lit(cfg.llm_cost_ms_step),
+                ).otherwise(F.lit(0))
+                if has_llm_gate
+                else F.lit(0)
+            )
         ).cast("int"),
     }
     _SIM_EXPRS_CACHE[key] = exprs
@@ -253,6 +296,7 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
         has_js_strategy="js_strategy" in admitted.columns,
         has_timeout="timeout_ms" in admitted.columns,
         has_retries="retries" in admitted.columns,
+        has_llm_gate="llm_postprocess" in admitted.columns,
     )
     joined = (
         joined.withColumn("strategy", ex["strategy_when_auto"])
@@ -387,6 +431,23 @@ def live_decisions(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
             (
                 F.coalesce(F.col("backoff_ms"), F.lit(0))
                 + F.coalesce(F.col("sched_slot_ms"), F.lit(0))
+                # modeled LLM latency (reference main.py:466, +2-10 s):
+                # live rows have no page_id, so the deterministic
+                # variance source is the url hash — replay-stable,
+                # never outcome-flipping (elapsed only)
+                + (
+                    F.when(
+                        F.coalesce(F.col("llm_postprocess"), F.lit(False))
+                        & (F.col("outcome") == "fetched"),
+                        F.lit(cfg.llm_cost_ms_base)
+                        + F.pmod(
+                            F.xxhash64(F.col("url")),
+                            F.lit(cfg.llm_cost_ms_span + 1),
+                        ) * F.lit(cfg.llm_cost_ms_step),
+                    ).otherwise(F.lit(0))
+                    if "llm_postprocess" in fetched.columns
+                    else F.lit(0)
+                )
             ).cast("int"),
         )
     )

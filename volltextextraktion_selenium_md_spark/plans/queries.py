@@ -387,14 +387,15 @@ def q_fetch_timeout(spark, sf_dir):
         graph.pages(spark).select("page_id", "url"), on="page_id"
     ).select(
         "url", "mode", "js_strategy", "timeout_ms", "retries",
+        "llm_postprocess",
         F.lit(0).alias("attempt"),
         F.lit(0).alias("sched_slot_ms"),
     )
     out = simulated_fetch(frontier, graph.pages(spark), cfg)
     return out.select(
         "page_id", "mode", "js_strategy", "timeout_ms",
-        F.col("retries").alias("req_retries"), "outcome",
-        "js_escalated", "elapsed_ms",
+        F.col("retries").alias("req_retries"), "llm_postprocess",
+        "outcome", "js_escalated", "elapsed_ms",
     )
 
 
@@ -974,9 +975,16 @@ SELECT
     ELSE 'auto' END AS mode,
   CASE WHEN page_id % 4 = 1 THEN 'accuracy' ELSE 'speed' END AS js_strategy,
   CASE WHEN page_id % 5 = 2 THEN CAST(130 AS INT)
+       -- preflight cap-trip case (reference main.py:329): a timeout
+       -- below the modeled probe charge (30 ms) makes the auto-mode
+       -- probe itself time out -> BLOCKED fall-through to Selenium
+       WHEN page_id % 11 = 7 THEN CAST(10 AS INT)
        ELSE CAST(NULL AS INT) END AS timeout_ms,
   CASE WHEN page_id % 7 = 3 THEN CAST(0 AS INT)
-       ELSE CAST(NULL AS INT) END AS retries
+       ELSE CAST(NULL AS INT) END AS retries,
+  CASE WHEN page_id % 6 = 1 THEN TRUE
+       WHEN page_id % 6 = 4 THEN FALSE
+       ELSE CAST(NULL AS BOOLEAN) END AS llm_postprocess
 FROM g_pages
 """
 

@@ -123,13 +123,19 @@ def _strategy(page: dict, cfg: CrawlConfig) -> str:
 
 
 def _request_cost_ms(
-    mode: str, page: dict, cfg: CrawlConfig, js_strategy: str = "speed"
+    mode: str, page: dict, cfg: CrawlConfig, js_strategy: str = "speed",
+    timeout_ms: int | None = None,
 ) -> tuple[int, bool]:
     """Modeled request latency (twin of plans/fetch.py's cost column:
     strategy midpoints, second-chance JS surcharge, mode overrides,
     js_strategy accuracy-pool surcharge on any Selenium render, and the
     speed->accuracy failure-ladder escalation, reference
-    app/js_fetcher.py:896-946). Returns (cost_ms, js_escalated)."""
+    app/js_fetcher.py:896-946). Returns (cost_ms, js_escalated).
+
+    Mirrors the preflight 12 s cap (reference main.py:329): an
+    auto-mode row whose modeled probe charge exceeds
+    min(timeout_ms, preflight_cap_ms) never classifies — it takes the
+    BLOCKED fall-through to Selenium."""
     accuracy = js_strategy == "accuracy"
     if mode == "fast":
         return cfg.cost_ms["HTTP_ONLY"], False
@@ -137,7 +143,14 @@ def _request_cost_ms(
         base = cfg.cost_ms["JS_LIGHT"]
         renders, blocked = True, bool(page["bot_wall"])
     else:
-        s = _strategy(page, cfg)
+        probe_cap = min(
+            timeout_ms if timeout_ms is not None else cfg.timeout_ms,
+            cfg.preflight_cap_ms,
+        )
+        if cfg.cost_ms["HTTP_ONLY"] > probe_cap:
+            s = "BLOCKED"
+        else:
+            s = _strategy(page, cfg)
         blocked = s == "BLOCKED"
         if s == "HTTP_THEN_JS" and page["text_len"] < cfg.second_chance_text_len:
             base = cfg.cost_ms["HTTP_THEN_JS"] + cfg.cost_ms["JS_LIGHT"]
@@ -220,7 +233,8 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
                 outcome, escalated = "missing", None
             else:
                 cost, escalated = _request_cost_ms(
-                    row["mode"], page, cfg, row["js_strategy"]
+                    row["mode"], page, cfg, row["js_strategy"],
+                    row.get("timeout_ms"),
                 )
                 # per-request timeout_ms overrides the config (NULL =
                 # global), mirroring plans/fetch.py's coalesce
