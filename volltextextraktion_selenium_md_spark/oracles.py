@@ -78,19 +78,26 @@ SELECT url, host, depth, lineage FROM (
 _HEX15 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 _TOKS = "str_split_regex(lower(trim(text)), '\\s+')"
+
+
 # hashed shingle set, deduplicated AFTER hashing — mirrors the engine's
 # shingles(hashed=True) exactly (operators/dedup.py): per doc the hash
 # SET equals hashing the distinct strings, so MinHash minima are
 # bit-identical and Jaccard matches up to a 60-bit collision
-SHINGLE_H = f"""
+def shingle_h(src: str = "documents") -> str:
+    """Hashed-shingle CTE body over any (doc_id, text) relation."""
+    return f"""
 SELECT DISTINCT doc_id, {_HEX15.format(x="shingle")} AS h
 FROM (
   SELECT doc_id,
     unnest(list_transform(range(1, greatest(len(a)-1, 1)),
                           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
-  FROM (SELECT doc_id, {_TOKS} AS a FROM documents)
+  FROM (SELECT doc_id, {_TOKS} AS a FROM {src})
 )
 """
+
+
+SHINGLE_H = shingle_h()
 
 
 def _with(extra: dict[str, str]) -> str:
@@ -902,7 +909,12 @@ FROM sh GROUP BY doc_id
 """
 
 
-def sql_minhash_lsh_pairs() -> str:
+def _minhash_pairs_tail() -> str:
+    """sig/banded/capped/cand CTEs + final pair SELECT, reading hashed
+    shingles from a preceding CTE named ``sh``. Shared by the documents
+    oracle (sql_minhash_lsh_pairs) and the crawled-corpus composition
+    (sql_crawl_then_dedup) so the banding/rank-cut/estimate SQL cannot
+    drift between them."""
     r = Q.MINHASH_H // Q.MINHASH_BANDS
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
@@ -914,7 +926,6 @@ def sql_minhash_lsh_pairs() -> str:
         f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(Q.MINHASH_H)
     )
     return f"""
-WITH sh AS ({SHINGLE_H}),
 sig AS (SELECT doc_id, {", ".join(_minhash_aggs())} FROM sh GROUP BY doc_id),
 banded AS ({bands}),
 capped AS (
@@ -936,6 +947,11 @@ JOIN sig a ON a.doc_id = doc_a
 JOIN sig b ON b.doc_id = doc_b
 WHERE ({eq}) / {float(Q.MINHASH_H)} >= {Q.LSH_EST_T}
 """
+
+
+def sql_minhash_lsh_pairs() -> str:
+    return f"""
+WITH sh AS ({SHINGLE_H}),{_minhash_pairs_tail()}"""
 
 
 def sql_minhash_lsh_clusters() -> str:
@@ -1221,9 +1237,322 @@ WHERE round(list_inner_product(a.e, b.e) / (a.n * b.n), 4) >= {Q.NEAR_DUP_T}
 """
 
 
-# --- registry -----------------------------------------------------------------
+# --- crawl-composition oracles (round sim + closed-form corpus) ---------------
+#
+# Full-fidelity SQL twin of the engine's multi-round BFS loop
+# (plans/frontier.py round loop; pure-python spec replay.py:172-314):
+# a DuckDB recursive CTE carries ONE state row per round — the pending
+# frontier and the seen set as lists, the decision log as an
+# accumulating struct list. Each iteration applies robots prefix rules,
+# the per-host admission rank cut (deferrals stay queued), the
+# status-driven outcome (retryable statuses re-queue until the per-row
+# retry budget), and first-seen child emission with inherited request
+# columns — exactly the reference crawl client loop (app/main.py
+# dispatch + app/utils.py:39-55 order-preserving dedup).
+#
+# The modeled fetch cost is NOT re-derived here: every g_seeds-minted
+# timeout (5000 ms / NULL->30000) exceeds the 10-330 ms modeled cost
+# ceiling by construction (graph.py g_seeds comment), so timeouts can
+# never fire inside the crawl and outcome depends on status alone.
+# fetch_timeout's oracle exercises the cost/timeout/escalation branches
+# on an outcome-flipping case mix instead.
 
-ORACLES: dict[str, str] = {}
+_FR_FIELDS = (
+    "url := url, host := host, depth := depth, lin := lin, att := att, "
+    "xl := xl, hc := hc, tc := tc, mb := mb, mp := mp, rt := rt"
+)
+_FR_COLS = "url, host, depth, lin, att, xl, hc, tc, mb, mp, rt"
+
+
+def _crawl_sim_sql() -> str:
+    from volltextextraktion_selenium_md_spark.config import CrawlConfig
+    from volltextextraktion_selenium_md_spark.graph import canon_sql
+
+    cfg = CrawlConfig()
+    statuses = ", ".join(str(s) for s in cfg.retryable_statuses)
+    return f"""
+WITH RECURSIVE sim AS (
+  SELECT 0 AS rnd,
+    (SELECT coalesce(list(struct_pack(url := url, host := host, depth := depth,
+        lin := lineage, att := 0, xl := extract_links, hc := html_converter,
+        tc := trafilatura_clean, mb := max_bytes, mp := media_policy,
+        rt := retries)), [])
+       FROM f_init) AS fr,
+    (SELECT coalesce(list(url), []) FROM f_init) AS seen,
+    CAST([] AS STRUCT(rnd INTEGER, url VARCHAR, depth INTEGER, lin VARCHAR,
+        att INTEGER, outcome VARCHAR, pid BIGINT, hc VARCHAR, tc BOOLEAN,
+        mb INTEGER, mp VARCHAR)[]) AS logd
+  UNION ALL
+  SELECT s.rnd + 1, n.nfr, s.seen || n.nsee, s.logd || n.nlog
+  FROM sim s, LATERAL (
+    WITH fr_t AS (SELECT unnest(s.fr, recursive := true)),
+    nb AS (
+      SELECT f.*,
+             row_number() OVER (PARTITION BY f.host ORDER BY f.depth, f.lin) AS hrn
+      FROM fr_t f LEFT JOIN g_robots r ON f.host = r.host
+      WHERE NOT (r.disallow_prefix IS NOT NULL
+                 AND ('/page/' || split_part(f.url, '/page/', 2))
+                     LIKE r.disallow_prefix || '%')
+    ),
+    dec AS (
+      SELECT a.*, p.page_id AS pid, p.content_type AS ctype,
+        CASE WHEN p.url IS NULL THEN 'missing'
+             WHEN p.status IN ({statuses})
+               THEN CASE WHEN a.att < coalesce(a.rt, {cfg.retries})
+                         THEN 'retry' ELSE 'failed' END
+             WHEN p.status >= 400 THEN 'failed'
+             ELSE 'fetched' END AS outcome
+      FROM nb a LEFT JOIN g_pages p ON p.url = a.url
+      WHERE a.hrn <= {cfg.host_budget_per_round}
+    ),
+    kids AS (
+      SELECT {canon_sql("l.raw_url")} AS url, l.dst_host AS host,
+             d.depth + 1 AS depth,
+             d.lin || '.' || lpad(CAST(l.doc_pos AS VARCHAR), 2, '0') AS lin,
+             0 AS att, d.xl, d.hc, d.tc, d.mb, d.mp, d.rt
+      FROM dec d JOIN g_links l ON l.src_page_id = d.pid
+      WHERE d.outcome = 'fetched' AND d.ctype LIKE 'text/html%'
+            AND d.depth < {cfg.max_depth} AND d.xl IS DISTINCT FROM false
+    ),
+    newk AS (
+      SELECT * FROM (
+        SELECT k.*, row_number() OVER (PARTITION BY k.url ORDER BY k.depth, k.lin) AS krn
+        FROM kids k) t
+      WHERE krn = 1 AND NOT list_contains(s.seen, url)
+    )
+    SELECT
+      (SELECT coalesce(list(struct_pack({_FR_FIELDS})), []) FROM (
+         SELECT {_FR_COLS} FROM nb WHERE hrn > {cfg.host_budget_per_round}
+         UNION ALL
+         SELECT url, host, depth, lin, att + 1, xl, hc, tc, mb, mp, rt
+         FROM dec WHERE outcome = 'retry'
+         UNION ALL
+         SELECT {_FR_COLS} FROM newk
+      )) AS nfr,
+      (SELECT coalesce(list(url), []) FROM newk) AS nsee,
+      (SELECT coalesce(list(struct_pack(rnd := s.rnd, url := url, depth := depth,
+          lin := lin, att := att, outcome := outcome, pid := pid, hc := hc,
+          tc := tc, mb := mb, mp := mp)), []) FROM dec) AS nlog
+  ) n
+  WHERE len(s.fr) > 0 AND s.rnd < {cfg.max_rounds}
+),
+crawl_log AS (
+  SELECT l.* FROM (
+    SELECT logd FROM sim ORDER BY rnd DESC LIMIT 1
+  ) last, LATERAL (SELECT unnest(last.logd, recursive := true)) l
+)
+SELECT CAST(row_number() OVER (ORDER BY rnd, depth, lin) AS INTEGER) AS ordinal,
+       CAST(rnd AS INTEGER) AS round, url, CAST(depth AS INTEGER) AS depth,
+       lin AS lineage, CAST(att AS INTEGER) AS attempt, outcome, pid,
+       hc, tc, mb, mp
+FROM crawl_log
+"""
+
+
+def _crawl_ctes() -> str:
+    return _with({"f_init": F_INIT}) + ",\ncrawl_sim AS (" + _crawl_sim_sql() + ")"
+
+
+def sql_crawl_full() -> str:
+    return (
+        _crawl_ctes()
+        + "\nSELECT ordinal, round, url, depth, lineage, attempt, outcome FROM crawl_sim"
+    )
+
+
+def _corpus_ctes() -> str:
+    """(doc_id, text) for every page the crawl fetched: the EXACT
+    markdown convert_stage emits for the minted payloads, in closed
+    form. Each mint branch (plans/convert.py:mint_payload) composed
+    with its converter tier (convert_bytes) reduces to a deterministic
+    string template over the page columns and the request's inherited
+    html_converter/trafilatura_clean/media_policy — validated
+    string-exact against convert_bytes at sf0.001/sf0.01 (all fetched
+    docs) when this oracle was built. Fixed-fragment transforms
+    (the math/table polish, the strip-tier table separator) are
+    precomputed HERE by running the same Python helpers the engine
+    uses, so the two sides cannot drift."""
+    from volltextextraktion_selenium_md_spark.config import CrawlConfig
+    from volltextextraktion_selenium_md_spark.functions.text import (
+        enhance_table_structure_py,
+    )
+    from volltextextraktion_selenium_md_spark.plans.convert import (
+        _FORMULA_RE,
+        _MATH_EXPR_RE,
+        _WORDS,
+    )
+
+    cfg = CrawlConfig()
+    nn = "chr(10) || chr(10)"
+    nl = "chr(10)"
+
+    # the body-text word stream is periodic: word i = _WORDS[(pid+7i)%16],
+    # so the infinite join is a repetition of one of 16 precomputed
+    # stride-7 cycles selected by pid%16 (plans/convert.py:_body_text)
+    cycles = [" ".join(_WORDS[(s + i * 7) % 16] for i in range(16)) for s in range(16)]
+    math_raw = "E = mc2 and f(x) applies"
+    math_pol = _FORMULA_RE.sub(r"**\1**", _MATH_EXPR_RE.sub(r"`\1`", math_raw))
+    table_enh = enhance_table_structure_py("| a | b |\n| 1 | 2 |")
+    strip_table = "| a | b | | 1 | 2 |"
+    strip_sep = (
+        "|"
+        + "|".join("---" for _ in range(len(("x " + strip_table).split("|")) - 1))
+        + "|"
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    cyc_case = (
+        "CASE CAST(page_id % 16 AS INT) "
+        + " ".join(f"WHEN {s} THEN {lit(c)}" for s, c in enumerate(cycles))
+        + " END"
+    )
+
+    def body_expr(rep: str, L: str) -> str:
+        # python: " ".join(words)[:L], trailing space -> 'x'
+        return (
+            f"CASE WHEN {L} <= 0 THEN '' "
+            f"WHEN substr({rep}, {L}, 1) = ' ' THEN substr({rep}, 1, ({L}) - 1) || 'x' "
+            f"ELSE substr({rep}, 1, {L}) END"
+        )
+
+    pid = "page_id"
+    pol = f"coalesce(mp, '{cfg.media_policy}')"
+    media_n = f"(64 + {pid} % 1000)"
+    media_md = f"""CASE {pol}
+      WHEN 'none' THEN ''
+      WHEN 'metadata' THEN '# Media Metadata' || {nn} || '```json' || {nl}
+           || '{{"content_type": "' || bct || '", "size_bytes": ' || {media_n} || '}}' || {nl} || '```'
+      WHEN 'full' THEN '# Media Content' || {nn} || '[media transcription not available: ' || bct || ']'
+      ELSE '# Media Content' || {nn} || '[media content skipped: ' || bct || ']'
+    END"""
+    img_md = (
+        f"'![synthetic image ' || {pid} || ' (' || ({pid} % 7) || ' objects, hue ' || ({pid} % 360) || ')](' || {pid} || ')'"
+        f" || {nn} || '24x16 ' || bct"
+    )
+    octet_md = (
+        "'# Binary Content' || " + nn
+        + " || 'Content-Type: application/octet-stream (64 bytes) — not converted.'"
+    )
+    pdf_md = f"'# PDF Document' || {nn} || bod200"
+    rss_md = (
+        f"'- feed ' || {pid} || {nl} || '- entry ' || {pid} || '-0' || {nl}"
+        f" || '- entry ' || {pid} || '-1' || {nl} || '- entry ' || {pid} || '-2'"
+    )
+
+    main_text = f"'# Page ' || {pid} || CASE WHEN text_len > 0 THEN {nn} || bod ELSE '' END"
+    main_len = (
+        f"(7 + length(CAST({pid} AS VARCHAR)) + "
+        f"CASE WHEN text_len > 0 THEN 2 + text_len ELSE 0 END)"
+    )
+    # full-DOM tier text: title + marker texts + (h1) + body + polished
+    # table/math fragments; the table enhancer inserts one extra blank
+    # line when the table is not the last chunk
+    full_text = f"""'page ' || {pid}
+      || CASE WHEN bot_wall THEN {nn} || 'Attention Required! cloudflare' ELSE '' END
+      || CASE WHEN consent THEN {nn} || 'cookie consent: accept' ELSE '' END
+      || CASE WHEN has_main THEN {nn} || '# Page ' || {pid} ELSE '' END
+      || CASE WHEN text_len > 0 THEN {nn} || bod ELSE '' END
+      || CASE WHEN {pid} % 37 = 0 THEN {nn} || {lit(table_enh)} ELSE '' END
+      || CASE WHEN {pid} % 41 = 0 THEN
+           (CASE WHEN {pid} % 37 = 0 THEN {nn} || {nl} ELSE {nn} END) || {lit(math_pol)}
+         ELSE '' END"""
+    # strip tier: tag-strip + whitespace collapse of the whole
+    # pre-cleaned document (script CONTENTS survive, noscript removed
+    # pre-parse); the single output line re-triggers the table enhancer
+    strip_text = f"""'page ' || {pid}
+      || CASE WHEN bot_wall THEN ' Attention Required! cloudflare' ELSE '' END
+      || CASE WHEN spa_mark THEN ' window.__NEXT_DATA__={{}}' ELSE '' END
+      || CASE WHEN consent THEN ' cookie consent: accept' ELSE '' END
+      || CASE WHEN has_main THEN ' Page ' || {pid} ELSE '' END
+      || CASE WHEN text_len > 0 THEN ' ' || bod ELSE '' END
+      || CASE WHEN {pid} % 37 = 0 THEN ' {strip_table}' ELSE '' END
+      || CASE WHEN {pid} % 41 = 0 THEN ' ' || {lit(math_pol)} ELSE '' END
+      || CASE WHEN {pid} % 37 = 0 THEN {nl} || '{strip_sep}' ELSE '' END"""
+
+    # kmap (plans/convert.py:_kmap_markdown; reference converter.py:
+    # 416-641): n_att == start-tag index k == (pid//31)%4, so each tag
+    # section holds at most one attachment and the whole layout
+    # enumerates by k. The bare `inline:a0.png` ref is NEVER rewritten
+    # (its regex capture swallows the following `</p>`, missing the
+    # attachment map — same in the reference extractor), while the
+    # attr ref resolves through <base> (pid%62) + attachments map.
+    item = lambda i: f"'- [Att ' || {pid} || '-{i}](' || bpre || {pid} || '_{i}.png)'"
+    sec = lambda name, i: f"{nn} || {nl} || '**{name}**' || {nn} || " + item(i)
+    kmap_hdr = f"""CASE WHEN {pid} % 3 = 0 THEN '# Subject ' || ({pid} % 7) || {nl} ELSE '' END
+      || CASE WHEN {pid} % 2 = 0 THEN '## Chapter ' || ({pid} % 5) || ' – Topic ' || {pid}
+              ELSE '# page ' || {pid} END"""
+    kmap_desc = f"""'Topic ' || {pid} || ' description ' || bod900
+      || CASE WHEN kk >= 1 THEN {nn} || 'see inline:a0.png' ELSE '' END"""
+    kmap_secs = f"""CASE kk
+      WHEN 1 THEN {sec('Vorstellung', 0)}
+      WHEN 2 THEN {sec('Anwendungen', 0)} || {sec('Anhänge', 1)}
+      WHEN 3 THEN {sec('Erklärungen', 1)} || {sec('Vorstellung', 2)}
+      ELSE '' END"""
+    kmap_md = f"({kmap_hdr}) || {nn} || ({kmap_desc}) || ({kmap_secs})"
+
+    html_md = f"""CASE
+      WHEN {pid} % 31 = 0 THEN {kmap_md}
+      WHEN {pid} % 29 = 7 THEN {full_text}
+      WHEN hc = 'strip' THEN {strip_text}
+      WHEN hc = 'full' THEN {full_text}
+      WHEN hc = 'main' THEN CASE WHEN tc IS DISTINCT FROM false THEN {main_text} ELSE {full_text} END
+      WHEN tc IS NOT DISTINCT FROM false THEN {full_text}
+      WHEN has_main AND {main_len} >= 80 THEN {main_text}
+      ELSE {full_text}
+    END"""
+
+    return f"""
+corpus0 AS (
+  SELECT l.pid AS page_id, l.hc, l.tc, l.mb, l.mp,
+         p.content_type, p.text_len, p.has_main, p.spa_mark, p.js_required,
+         p.consent, p.bot_wall,
+         lower(trim(split_part(p.content_type, ';', 1))) AS bct
+  FROM crawl_sim l JOIN g_pages p ON p.page_id = l.pid
+  WHERE l.outcome = 'fetched'
+),
+corpus1 AS (
+  SELECT *, {cyc_case} AS cyc,
+         CASE WHEN page_id % 31 = 0 THEN CAST((page_id // 31) % 4 AS INT) ELSE 0 END AS kk,
+         CASE WHEN page_id % 62 = 0 THEN '/app/files/' ELSE '/files/' END AS bpre
+  FROM corpus0
+),
+corpus2 AS (
+  SELECT *,
+    {body_expr("repeat(cyc || ' ', CAST(text_len / 100 AS INT) + 2)", "text_len")} AS bod,
+    {body_expr("repeat(cyc || ' ', 4)", "200")} AS bod200,
+    {body_expr("repeat(cyc || ' ', 11)", "900")} AS bod900
+  FROM corpus1
+),
+corpus AS (
+  SELECT page_id AS doc_id,
+    CASE
+      WHEN bct LIKE 'image/%' THEN {img_md}
+      WHEN bct = 'application/octet-stream' THEN {octet_md}
+      WHEN bct = 'application/pdf' AND page_id % 20 <> 16 THEN {pdf_md}
+      WHEN bct LIKE 'application/rss%' THEN {rss_md}
+      WHEN bct LIKE 'audio/%' OR bct LIKE 'video/%' THEN {media_md}
+      WHEN bct = 'application/pdf' THEN 'not actually a pdf'
+      ELSE {html_md}
+    END AS text
+  FROM corpus2
+)"""
+
+
+def sql_crawl_then_dedup() -> str:
+    """Crawl -> convert -> MinHash-LSH pairs, end to end in SQL: the
+    round-sim gives corpus membership + per-lineage convert settings,
+    the closed-form corpus gives the exact markdown, and the shared
+    pairs tail applies the same banding/rank-cut/estimate as the
+    documents oracle."""
+    return (
+        _crawl_ctes()
+        + ","
+        + _corpus_ctes().lstrip("\n")
+        + f",\nsh AS ({shingle_h('corpus')}),"
+        + _minhash_pairs_tail()
+    )
 
 
 def build_oracles() -> dict[str, str]:
@@ -1274,5 +1603,7 @@ def build_oracles() -> dict[str, str]:
         "cosine_topk_lsh": sql_cosine_topk_lsh(),
         "ivf_topk": sql_ivf_topk(),
         "embedding_near_dup": sql_embedding_near_dup(),
+        "crawl_full": sql_crawl_full(),
+        "crawl_then_dedup": sql_crawl_then_dedup(),
     }
     return ORACLES
