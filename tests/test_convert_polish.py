@@ -238,3 +238,63 @@ def test_kmap_small_fragment_forces_full_tier():
         3, "text/html", html, _Breaker(), 1 << 20, forced_converter="strip"
     )
     assert conv == "full"  # the tiny-fragment override beats forced
+
+
+def test_body_text_cycle_equals_word_loop():
+    """_body_text's precomputed-cycle fast path (round-6: the word loop
+    was 62% of the scale-64 convert profile) must equal the reference
+    word-by-word construction exactly — including the sliced-trailing-
+    space -> 'x' fix and the L=0 empty case."""
+    from volltextextraktion_selenium_md_spark.plans.convert import (
+        _WORDS,
+        _body_text,
+    )
+
+    def loop_body(page_id: int, text_len: int) -> str:
+        words, total, i = [], 0, 0
+        while total <= text_len:
+            w = _WORDS[(page_id + i * 7) % len(_WORDS)]
+            words.append(w)
+            total += len(w) + 1
+            i += 1
+        body = " ".join(words)[:text_len] if text_len > 0 else ""
+        if body.endswith(" "):
+            body = body[:-1] + "x"
+        return body
+
+    for pid in (0, 1, 7, 15, 16, 31, 434, 99991):
+        for L in (0, 1, 3, 4, 5, 99, 100, 101, 200, 900, 1599, 1600 * 64):
+            assert _body_text(pid, L) == loop_body(pid, L), (pid, L)
+
+
+def test_polish_gate_is_exact():
+    """The [=+-*/(] pre-gate and the '|' table gate skip work only when
+    the subs/enhancer are identities — outputs must match the ungated
+    composition on gated AND non-gated inputs."""
+    from volltextextraktion_selenium_md_spark.functions.text import (
+        enhance_table_structure_py,
+    )
+    from volltextextraktion_selenium_md_spark.plans.convert import (
+        _FORMULA_RE,
+        _MATH_EXPR_RE,
+        _polish,
+    )
+
+    def ungated(t: str) -> str:
+        t = _MATH_EXPR_RE.sub(r"`\1`", t)
+        t = _FORMULA_RE.sub(r"**\1**", t)
+        return enhance_table_structure_py(t)
+
+    cases = [
+        "",
+        "plain lowercase words only",
+        "E = mc2 and f(x) applies",
+        "| a | b |\n| 1 | 2 |",
+        "x\n\n| a | b |\n| 1 | 2 |\n\nE = mc2 and f(x) applies",
+        "- [Att 310-0](/files/310_0.png)",
+        "window.__NEXT_DATA__={}",
+        "a+b then c/d then e*f",
+        "pipe | once",
+    ]
+    for t in cases:
+        assert _polish(t) == ungated(t), repr(t)

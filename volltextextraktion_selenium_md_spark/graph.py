@@ -344,6 +344,13 @@ def mirror_seeds(seeds_df: DataFrame, R: int, id_span: int) -> DataFrame:
         "retries",
         "llm_postprocess",
         "extract_links",
+        "html_converter",
+        "media_policy",
+        "max_bytes",
+        "trafilatura_clean",
+        "proxy",
+        "allow_insecure_ssl",
+        "llm_prompt",
     )
 
 

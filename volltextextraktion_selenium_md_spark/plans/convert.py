@@ -53,16 +53,22 @@ _WORDS = [
 ]
 
 
+# the word stream `_WORDS[(pid + 7i) % 16]` is periodic with period 16,
+# so the infinite space-joined stream is a repetition of one of 16
+# stride-7 cycles selected by pid%16 — precompute them once and slice,
+# instead of appending ~text_len/5 words per call (the word loop was
+# 62% of the scale-64 convert profile; identical output, golden-tested)
+_CYCLES = [
+    " ".join(_WORDS[(s + i * 7) % len(_WORDS)] for i in range(len(_WORDS))) + " "
+    for s in range(len(_WORDS))
+]
+
+
 def _body_text(page_id: int, text_len: int) -> str:
-    words = []
-    total = 0  # join length + 1 (each word contributes len+separator)
-    i = 0
-    while total <= text_len:  # stop only once the JOIN reaches text_len
-        w = _WORDS[(page_id + i * 7) % len(_WORDS)]
-        words.append(w)
-        total += len(w) + 1
-        i += 1
-    body = " ".join(words)[:text_len] if text_len > 0 else ""
+    if text_len <= 0:
+        return ""
+    cyc = _CYCLES[page_id % len(_WORDS)]
+    body = (cyc * (text_len // len(cyc) + 2))[:text_len]
     # never end on a space: the preflight feature extractor measures
     # whitespace-collapsed visible text, so a sliced trailing space
     # would shift text_len by one (length is preserved)
@@ -439,12 +445,19 @@ def _extract(html: str, main_only: bool) -> str:
 
 _MATH_EXPR_RE = re.compile(r"\b([a-zA-Z]\([^)]*\)|[a-zA-Z][₀-₉⁰-⁹]*\s*[=+\-*/]\s*[^\s]+)")
 _FORMULA_RE = re.compile(r"([a-zA-Z][₀-₉⁰-⁹]*\s*=\s*[^\n]+)")
+# every _MATH_EXPR_RE alternative needs '(' or an operator, _FORMULA_RE
+# needs '=' — one cheap scan gates BOTH subs (they were two full
+# backtracking passes over every ~100 KB document at payload_scale=64)
+_POLISH_TRIGGER_RE = re.compile(r"[=+\-*/(]")
 
 
 def _polish(text: str) -> str:
     """C4 + C5 (converter.py:76-84, 87-114)."""
-    text = _MATH_EXPR_RE.sub(r"`\1`", text)
-    text = _FORMULA_RE.sub(r"**\1**", text)
+    if _POLISH_TRIGGER_RE.search(text):
+        text = _MATH_EXPR_RE.sub(r"`\1`", text)
+        text = _FORMULA_RE.sub(r"**\1**", text)
+    if "|" not in text:  # the table enhancer is an identity without
+        return text      # a pipe line — skip its full split/rejoin copy
     return enhance_table_structure_py(text)
 
 
