@@ -276,6 +276,28 @@ def _rewrite_host_str(col):
     return insert_mirror(col, F.col("mirror"))
 
 
+# exact inverses of insert_mirror, evaluated on the (canonicalized,
+# host-lowercased) frontier url. They let the per-round fetch join run
+# against the BASE page table instead of an eagerly materialized R×
+# copy: O(round) probe-side work, never O(R × corpus) per round — the
+# same factoring _children_links already applies to the link table.
+
+def extract_mirror(col):
+    """'...X.m{m}.example.com...' -> m (long; NULL when absent)."""
+    from pyspark.sql import functions as F
+
+    return F.nullif(
+        F.regexp_extract(col, r"\.m(\d+)\.example\.com", 1), F.lit("")
+    ).cast("long")
+
+
+def strip_mirror(col):
+    """'...X.m{m}.example.com...' -> '...X.example.com...'."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, r"\.m\d+\.example\.com", ".example.com")
+
+
 def mirror_pages(pages_df: DataFrame, R: int, id_span: int) -> DataFrame:
     from pyspark.sql import functions as F
 

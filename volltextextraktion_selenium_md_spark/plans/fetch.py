@@ -256,15 +256,46 @@ def _sim_exprs(
     return exprs
 
 
-def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def simulated_fetch(
+    admitted: DataFrame,
+    pages: DataFrame,
+    cfg: CrawlConfig,
+    mirror_span: int = 0,
+    mirrors: int = 0,
+) -> DataFrame:
     """Resolve admitted frontier rows against the page corpus.
 
     Join is equi on the canonical url: at 10^10 scale both sides hash-
     partition on the key; the frontier side is orders of magnitude
     smaller per round, so AQE picks a sensible strategy; no skew
-    (url is unique on both sides)."""
+    (url is unique on both sides).
+
+    ``mirror_span > 0``: ``pages`` is the BASE corpus and ``admitted``
+    urls live in the R×-mirrored URL space — the join key is the
+    mirror-stripped url and the mirror-dependent page attributes
+    (page_id offset, final_url host) are re-minted probe-side. Exactly
+    equivalent to joining an eagerly mirrored corpus, without ever
+    materializing (or re-sorting, every round) R × corpus rows: the
+    fetch join stays O(round + base), the bucketed-dim pattern."""
+    join_key = "url"
+    if mirror_span > 0:
+        from volltextextraktion_selenium_md_spark import graph as _graph
+
+        join_key = "_burl"
+        admitted = admitted.withColumn(
+            "_mir", _graph.extract_mirror(F.col("url"))
+        ).withColumn(
+            # a url with no (or an out-of-range) mirror token exists in
+            # NO copy of the mirrored web: NULL join key -> no match,
+            # exactly the eager-mirror join's miss for that row
+            "_burl",
+            F.when(
+                F.col("_mir").isNotNull() & (F.col("_mir") < F.lit(mirrors)),
+                _graph.strip_mirror(F.col("url")),
+            ),
+        )
     page_cols = pages.select(
-        F.col("url"),
+        F.col("url").alias(join_key),
         F.col("page_id"),
         F.col("status").alias("page_status"),
         F.col("final_url"),
@@ -282,7 +313,23 @@ def simulated_fetch(admitted: DataFrame, pages: DataFrame, cfg: CrawlConfig) -> 
     # table is bucketed on url and far past any broadcast threshold,
     # so the planner lands on the co-partitioned sort-merge join on
     # its own; the declarative form is right at BOTH scales.
-    joined = admitted.join(page_cols, on="url", how="left")
+    joined = admitted.join(page_cols, on=join_key, how="left")
+    if mirror_span > 0:
+        # re-mint the two mirror-dependent attributes (all others —
+        # status, content type, features — are mirror-invariant). A
+        # NULL _mir (un-mirrored url) yields NULL page_id -> the same
+        # "missing" outcome the eager-mirror join produced for it.
+        joined = (
+            joined.withColumn(
+                "page_id",
+                F.col("page_id") + F.col("_mir") * F.lit(mirror_span),
+            )
+            .withColumn(
+                "final_url",
+                _graph.insert_mirror(F.col("final_url"), F.col("_mir")),
+            )
+            .drop("_mir", "_burl")
+        )
 
     # all derived expressions come from the per-(cfg, SparkContext)
     # memo above — the trees embed only fixed column names, and

@@ -408,15 +408,23 @@ class CrawlEngine:
         self.seeds = graph.seeds(spark)
         self.mirrors = mirrors
         self.span = 0
+        # factored mirroring (default): BOTH fat tables (pages, links)
+        # stay base-sized and the mirror id is stripped/re-minted on
+        # the (round-sized) probe side of each join — per-round work is
+        # O(round + base), never O(R × corpus). The eager path
+        # (SPARK_GRAFT_MIRROR_MATERIALIZE=1) materializes the R× page
+        # corpus instead; it exists for equivalence tests and A/B runs
+        # (measured: 38M-row persist at m64 cost ~50 s of round-0
+        # warm-up plus an O(corpus) scan/sort inside every round's
+        # fetch join). seeds/robots are tiny and mirror eagerly either
+        # way.
+        self._mirror_materialize = (
+            os.environ.get("SPARK_GRAFT_MIRROR_MATERIALIZE", "0") == "1"
+        )
         if mirrors > 1:
-            # R disjoint copies of the web (scale benchmarks): identical
-            # engine, R× the URL space. pages/seeds/robots mirror
-            # eagerly (joined on url each round -> cached mirrored);
-            # links mirror LATE — the base table is cached small and
-            # the mirror rewrite happens after the parents join, so
-            # per-round string work is O(children), not O(R × links)
             self.span = self.pages.agg(F.max("page_id")).first()[0] + 1
-            self.pages = graph.mirror_pages(self.pages, mirrors, self.span)
+            if self._mirror_materialize:
+                self.pages = graph.mirror_pages(self.pages, mirrors, self.span)
             self.seeds = graph.mirror_seeds(self.seeds, mirrors, self.span)
             self.robots = graph.mirror_robots(self.robots, mirrors)
 
@@ -735,8 +743,13 @@ class CrawlEngine:
                     *[c for c in keep if c != "status_code"], "payload"
                 )
             else:
+                _factored = self.mirrors > 1 and not self._mirror_materialize
                 fetched = (
-                    simulated_fetch(admitted, self.pages, cfg)
+                    simulated_fetch(
+                        admitted, self.pages, cfg,
+                        mirror_span=self.span if _factored else 0,
+                        mirrors=self.mirrors if _factored else 0,
+                    )
                     .select(*[c for c in keep if c not in ("status_code", "partition_id")])
                     # per-partition lineage: which physical partition
                     # carried the row through the fetch stage
@@ -897,6 +910,7 @@ class CrawlEngine:
                     else:
                         payloads.append(batch)
 
+            _t_lc = _time.time()
             # retry re-queue (F8): failed-retryable rows flow into the
             # next round with attempt+1 — backoff becomes a schedule
             # slot, not a sleep
@@ -954,6 +968,7 @@ class CrawlEngine:
                     )
                 )
             children = seen_ops.with_hashes(first_seen(children, "url", ["depth", "lineage"]))
+            _t_ch = _time.time()
 
             bloom = None
             if self.use_bloom:
@@ -1034,6 +1049,9 @@ class CrawlEngine:
             n_frontier = frontier.count()
             if os.environ.get("SPARK_GRAFT_ROUND_PROFILE"):
                 print(f"[round {rnd}] build_next {_t_c - _t_f2:.2f}s"
+                      f" (log+conv_submit {_t_lc - _t_f2:.2f}s"
+                      f" children_plan {_t_ch - _t_lc:.2f}s"
+                      f" unseen+compact {_t_c - _t_ch:.2f}s)"
                       f" frontier_count {_time.time() - _t_c:.2f}s"
                       f" n={n_frontier}")
 
