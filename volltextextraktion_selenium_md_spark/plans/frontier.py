@@ -187,6 +187,26 @@ def global_ordinal(
     ).drop("_pid")
 
 
+def _release_ckpt(df: DataFrame | None) -> None:
+    """Free a localCheckpoint's stored blocks. The caller must guarantee
+    the DataFrame is never read again — Spark raises
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND if it is (loud, never silent
+    corruption). No-op for plans that aren't checkpoint-backed (a
+    parquet-backed resume read has no LogicalRDD root and nothing to
+    free). This is mandatory 10^10-scale hygiene: a crawl that pins
+    every round's checkpoint retains O(total crawl volume) of
+    block-manager storage, and past ~50% of unified memory the
+    executor's EXECUTION side starts spilling every shuffle — measured
+    m128/s64 local[32]: 439 s pinned vs 345 s with the blocks released
+    (BENCH.md round 6)."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _pad6(col):
     return F.lpad(col.cast("string"), 6, "0")
 
@@ -605,6 +625,7 @@ class CrawlEngine:
         conversions: list[DataFrame] = []
         round_counts: list[dict] = []
         bulk_futures: list = []
+        hygiene_futures: list = []
         self._bulk_pool = None
         if self.overlap_convert:
             from concurrent.futures import ThreadPoolExecutor
@@ -696,6 +717,11 @@ class CrawlEngine:
         round_walls: list[float] = []
         while rnd < cfg.max_rounds and n_frontier > 0:
             _t_round = _time.time()
+            # the loop rebinds `frontier` to the NEXT round's mid-body;
+            # keep a handle on THIS round's so end-of-round hygiene can
+            # release its blocks once nothing can read them again
+            frontier_cur = frontier
+            dead_parts: list[DataFrame] = []
             # plan this round's shuffles at a width the round's volume
             # justifies (session width stays the ceiling)
             self._set_round_width(n_frontier)
@@ -797,7 +823,15 @@ class CrawlEngine:
                 F.lit(None).cast("int").alias("elapsed_ms"),
                 F.lit(None).cast("int").alias("partition_id"),
             )
-            logs.append(log.select(*LOG_COLS).unionByName(blocked_log.select(*LOG_COLS)))
+            # the round's log part stays a LAZY projection of the
+            # fetched/frontier checkpoints here; the end-of-round
+            # hygiene task re-checkpoints it NARROW (LOG_COLS only) so
+            # the wide fetched blocks can be released (pipelined path)
+            log_part = log.select(*LOG_COLS).unionByName(
+                blocked_log.select(*LOG_COLS)
+            )
+            log_idx = len(logs)
+            logs.append(log_part)
 
             if self.with_convert:
                 ok = fetched.filter(F.col("outcome") == "fetched")
@@ -888,7 +922,21 @@ class CrawlEngine:
                         # _ckpt_partitioned has AQE toggled off on the
                         # shared session conf
                         with self._conf_lock:
-                            conv_ck = c.localCheckpoint()
+                            # DISK_ONLY: the convert output carries the
+                            # payload bytes (image rows) — at web scale
+                            # those stream to the sink, they are never
+                            # RAM-resident. Memory-level checkpoints here
+                            # pinned O(crawl volume) of unified memory
+                            # and starved the execution side into
+                            # per-shuffle spills (measured m128/s64
+                            # local[32]: 439 s -> 345 s, BENCH.md r6);
+                            # the final payload count streams from local
+                            # disk instead.
+                            from pyspark import StorageLevel
+
+                            conv_ck = c.localCheckpoint(
+                                storageLevel=StorageLevel.DISK_ONLY
+                            )
                             co, b = _derive(conv_ck)
                             if self.payload_table is not None:
                                 merge_into(
@@ -1044,7 +1092,11 @@ class CrawlEngine:
                     self._union_parts(seen_parts), n_seen, blocking=force
                 )
                 if base is not None:
-                    seen_parts = [base]
+                    # the folded parts (old base + deltas) die here —
+                    # released at end-of-round, AFTER the frontier count
+                    # stores unseen's rows in the new frontier's own
+                    # blocks and the cuckoo delta has read them
+                    dead_parts, seen_parts = seen_parts, [base]
             _t_c = _time.time()
             n_frontier = frontier.count()
             if os.environ.get("SPARK_GRAFT_ROUND_PROFILE"):
@@ -1079,8 +1131,11 @@ class CrawlEngine:
                     # a published snapshot at round k must not outrun
                     # the payload-table merges it implies — wait for
                     # every pipelined convert/merge ≤ k before commit
-                    # (result() is idempotent; values re-read at drain)
-                    for fut in bulk_futures:
+                    # (result() is idempotent; values re-read at drain).
+                    # Hygiene futures too: a mid-swap log part must not
+                    # be unioned into the committed cum_log while its
+                    # source blocks are being released.
+                    for fut in bulk_futures + hygiene_futures:
                         fut.result()
                 cum_log = logs[0]
                 for df in logs[1:]:
@@ -1123,6 +1178,57 @@ class CrawlEngine:
             # cheap upper bound is enough for bloom sizing (deferred and
             # retry rows double-count; the bloom is just slightly larger)
             n_seen = n_seen + n_frontier
+            # --- block-manager hygiene (10^10-scale): release every
+            # block no later plan can read. Seen parts folded into a
+            # new compacted base died above (the count stored the
+            # frontier's own copy of unseen; the cuckoo delta has been
+            # applied) — driver-side bookkeeping, no job.
+            for p in dead_parts:
+                _release_ckpt(p)
+            if self._bulk_pool is not None:
+                # pipelined path: re-checkpoint the round's log part
+                # narrow, then release the wide fetched and the consumed
+                # frontier. The single-worker pool sequences this AFTER
+                # the round's convert (which reads fetched); children/
+                # retries/deferred were stored in the next frontier's
+                # blocks by this round's count. The serial path skips
+                # this: its convert plan is lazy over fetched until the
+                # final materialization.
+                def _hygiene(
+                    i=log_idx, part=log_part, f=fetched, fr=frontier_cur
+                ):
+                    self.spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", "bulk"
+                    )
+                    with self._conf_lock:
+                        conf = self.spark.conf
+                        prev = conf.get(
+                            "spark.sql.constraintPropagation.enabled", "true"
+                        )
+                        # the log part's plan nests the fetched/frontier
+                        # LogicalRDDs, whose own origin constraints
+                        # reference attributes this projection drops;
+                        # capturing constraints through that nesting
+                        # trips the consumer-side rewrite ("key not
+                        # found: partition_id#N" in PruneFilters on the
+                        # final ordinal sort). Constraints buy nothing
+                        # on a log part (it only feeds unions and
+                        # aggregations), so capture the checkpoint
+                        # without them.
+                        conf.set(
+                            "spark.sql.constraintPropagation.enabled", "false"
+                        )
+                        try:
+                            lck = part.localCheckpoint()
+                        finally:
+                            conf.set(
+                                "spark.sql.constraintPropagation.enabled", prev
+                            )
+                    logs[i] = lck
+                    _release_ckpt(f)
+                    _release_ckpt(fr)
+
+                hygiene_futures.append(self._bulk_pool.submit(_hygiene))
             round_walls.append(round(_time.time() - _t_round, 3))
             rnd += 1
 
@@ -1136,6 +1242,12 @@ class CrawlEngine:
                 conversions.append(co_ck)
                 if batch_ck is not None:
                     payloads.append(batch_ck)
+            # hygiene must finish before fetch_log is assembled below:
+            # every logs[i] slot must hold its narrow checkpoint (or a
+            # still-alive lazy part), never a lazy part whose source
+            # blocks were released mid-swap
+            for fut in hygiene_futures:
+                fut.result()
             self._bulk_pool.shutdown()
             self._bulk_pool = None
 
