@@ -58,6 +58,37 @@ def test_strip_extract_invert_insert(spark):
         assert row["stripped"] == orig
 
 
+def test_canonicalize_commutes_with_insert_mirror(spark):
+    """The engine's factored link path substitutes
+    canonicalize(insert_mirror(raw, m)) with
+    insert_mirror(canonicalize(raw), m) — assert the two agree on EVERY
+    raw link and seed url in the graph (all noise classes: #frag,
+    trailing /, UPPERCASE scheme+host prefix), for boundary mirrors."""
+    from volltextextraktion_selenium_md_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    graph.register_graph_views(spark, SF_SMALL)
+    raws = (
+        graph.links(spark).select("raw_url")
+        .unionByName(graph.seeds(spark).select("raw_url"))
+    )
+    for m in (0, 5, 63):
+        mismatches = (
+            raws.select(
+                canonicalize_url(
+                    graph.insert_mirror(F.col("raw_url"), F.lit(m))
+                ).alias("a"),
+                graph.insert_mirror(
+                    canonicalize_url(F.col("raw_url")), F.lit(m)
+                ).alias("b"),
+            )
+            .filter("a IS NULL OR b IS NULL OR a <> b")
+            .count()
+        )
+        assert mismatches == 0, f"mirror {m}: {mismatches} mismatches"
+
+
 def _run(spark, materialize: bool):
     prev = os.environ.get("SPARK_GRAFT_MIRROR_MATERIALIZE")
     os.environ["SPARK_GRAFT_MIRROR_MATERIALIZE"] = "1" if materialize else "0"

@@ -464,11 +464,21 @@ class CrawlEngine:
         j = parents.select(
             *[c for c in parents.columns if c != "src_page_id"], mir, orig
         ).join(self.links, on="src_page_id")
+        # canonicalization factored out of the per-round loop: the base
+        # link table carries canon_url (one Arrow pass at init), and the
+        # mirror token is inserted into the CANONICAL form — equivalent
+        # because insert_mirror commutes with canonicalize_url (it only
+        # rewrites the host segment, case-insensitively, emitting the
+        # canonical lowercase token; property-tested over the full link
+        # table in tests/test_mirror_factoring.py). Without this, every
+        # round re-canonicalized each base link once PER MIRROR — at
+        # m128 a 128x-redundant Python stage inside the loop's critical
+        # path (the loop is the non-scaling Amdahl term, BENCH.md r6).
         return j.select(
             *[c for c in parents.columns if c != "src_page_id"],
             "doc_pos",
             graph.insert_mirror(F.col("dst_host"), F.col("_mir")).alias("dst_host"),
-            graph.insert_mirror(F.col("raw_url"), F.col("_mir")).alias("raw_url"),
+            graph.insert_mirror(F.col("canon_url"), F.col("_mir")).alias("raw_url"),
         )
 
     def _ckpt_partitioned(
@@ -611,11 +621,22 @@ class CrawlEngine:
         # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning).
         if self.fetch_mode == "simulated":
             self.pages = self.pages.repartition(self.num_partitions, "url").persist()
-            self.links = (
-                self.links.select(*self.LINK_COLS)
-                .repartition(self.num_partitions, "src_page_id")
-                .persist()
-            )
+            links = self.links.select(*self.LINK_COLS)
+            if self.mirrors > 1:
+                # canonical URL is a property of the LINK, not of the
+                # crawl round — compute it once on the base table (the
+                # lakehouse would store it at link-extraction time) and
+                # let _children_links insert the mirror token into the
+                # canonical form. m=1 keeps the in-loop canonicalize:
+                # a partial crawl touches far fewer links than the
+                # table holds, so precomputing all of them would be
+                # net-negative there.
+                links = links.withColumn(
+                    "canon_url", canonicalize_url(F.col("raw_url"))
+                )
+            self.links = links.repartition(
+                self.num_partitions, "src_page_id"
+            ).persist()
         # robots rules re-derive from the parquet view on EVERY round's
         # broadcast build otherwise — persist the (tiny) relation once
         self.robots = self.robots.persist()
@@ -1005,7 +1026,12 @@ class CrawlEngine:
                 children = (
                     self._children_links(parents)
                     .select(
-                        canonicalize_url(F.col("raw_url")).alias("url"),
+                        # mirrors>1: raw_url is ALREADY canonical (the
+                        # base table's canon_url + mirror token)
+                        (
+                            F.col("raw_url") if self.mirrors > 1
+                            else canonicalize_url(F.col("raw_url"))
+                        ).alias("url"),
                         F.col("dst_host").alias("host"),
                         (F.col("p_depth") + 1).alias("depth"),
                         F.concat(F.col("p_lineage"), F.lit("."), _pad2(F.col("doc_pos"))).alias("lineage"),
