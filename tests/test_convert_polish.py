@@ -298,3 +298,46 @@ def test_polish_gate_is_exact():
     ]
     for t in cases:
         assert _polish(t) == ungated(t), repr(t)
+
+
+def test_live_image_rows_emit_payload_table_rows(spark):
+    """Live mode (payload_col set) decodes the REAL fetched bytes into
+    the payload-table columns: bytes verbatim, w/h/fmt/phash from the
+    decoded pixels, deterministic caption stand-in; undecodable bytes
+    (corrupt or max_bytes-truncated) emit markdown via the containment
+    path but NO payload row. page_id is NULL live -> md5 surrogate."""
+    import hashlib
+
+    from volltextextraktion_selenium_md_spark import codec
+    from volltextextraktion_selenium_md_spark.plans.convert import convert_stage
+
+    arr = codec.synth_image(5, w=48, h=32)
+    good = codec.encode(arr, "png")
+    rows = [
+        ("http://a.example.com/i.png", None, "image/png", bytearray(good)),
+        ("http://a.example.com/bad.png", None, "image/png", bytearray(b"nope")),
+        ("http://a.example.com/p.html", None, "text/html; charset=utf-8",
+         bytearray(b"<html><body><main><p>hello world</p></main></body></html>")),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, page_id long, content_type string, payload binary"
+    )
+    got = {r["url"].rsplit("/", 1)[1]: r
+           for r in convert_stage(df, payload_col="payload").collect()}
+
+    surrogate = int.from_bytes(
+        hashlib.md5(b"http://a.example.com/i.png").digest()[:8], "big"
+    ) >> 1
+    live = got["i.png"]
+    assert live["image_id"] == f"img-{surrogate}"
+    assert bytes(live["image_bytes"]) == good  # fetched bytes verbatim
+    assert (live["w"], live["h"], live["fmt"]) == (48, 32, "png")
+    assert live["phash"] == codec.average_hash(arr)
+    assert live["caption"] == codec.synth_caption(surrogate)
+    assert live["converter_used"] == "image"
+
+    # corrupt image: contained, no payload row
+    assert got["bad.png"]["image_id"] is None
+    assert got["bad.png"]["converter_used"] == "error"
+    # non-image live rows never get payload columns
+    assert got["p.html"]["image_id"] is None

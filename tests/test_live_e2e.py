@@ -33,6 +33,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
+from volltextextraktion_selenium_md_spark import codec
 from volltextextraktion_selenium_md_spark.config import CrawlConfig
 from volltextextraktion_selenium_md_spark.functions.urls import canonicalize_one
 from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
@@ -63,6 +64,14 @@ def http_graph_server():
                 for _pos, raw, _h in links.get(page["page_id"], [])
             )
             body = f"<html><body><main>page</main>{anchors}</body></html>".encode()
+        elif ctype.startswith("image/"):
+            # real image bytes (the minted corpus payload, scale=1) so
+            # the live convert stage can decode them into payload-table
+            # rows — convert.mint_payload's image branch, served over
+            # the wire instead of minted executor-side
+            body = codec.encode(
+                codec.synth_image(page["page_id"], w=24, h=16), "jpeg"
+            )
         else:
             body = b"binarybody"
         by_url[_rw(url)] = {
@@ -200,7 +209,8 @@ def test_live_engine_over_real_http_server(spark, http_graph_server):
 
     before = hits[0]
     live = _http_engine(
-        spark, cfg, fetch_mode="live", transport_factory=make_factory()
+        spark, cfg, fetch_mode="live", transport_factory=make_factory(),
+        with_convert=True,
     ).run()
     got = _order(live)
     want = _sim_order_mapped(sim)
@@ -211,6 +221,33 @@ def test_live_engine_over_real_http_server(spark, http_graph_server):
     # the crawl really went over the wire: at least one request per
     # non-blocked decision reached the server
     assert hits[0] - before >= len(got)
+
+    # live image payloads: the convert stage decoded the REAL wire
+    # bytes into payload-table rows (codec.payload_row_from_bytes) —
+    # every row must map back to a graph image page via the live md5
+    # url surrogate, carry pixel-derived w/h/fmt/phash, and hold the
+    # input_hint's PSNR>=40dB invariant vs the page's source image
+    import hashlib
+
+    pages, _links, _seeds, _robots = _load_graph(SF_SMALL)
+    sur2page = {}
+    for url, page in pages.items():
+        if page["content_type"].startswith("image/"):
+            for u in (_rw(url), _rw(page["final_url"])):
+                s = int.from_bytes(
+                    hashlib.md5(u.encode()).digest()[:8], "big"
+                ) >> 1
+                sur2page[f"img-{s}"] = page
+    prows = live.payloads.collect()
+    assert prows, "live crawl produced no image payload rows"
+    for r in prows:
+        arr = codec.decode(bytes(r["bytes"]))
+        assert (r["w"], r["h"], r["fmt"]) == (arr.shape[1], arr.shape[0], "jpeg")
+        assert r["phash"] == codec.average_hash(arr)
+        page = sur2page.get(r["image_id"])
+        assert page is not None, f"unmapped live payload row {r['image_id']}"
+        src = codec.synth_image(page["page_id"], w=24, h=16)
+        assert codec.psnr(src, arr) >= 40.0
 
 
 def test_live_engine_default_httpx_transport(spark, http_graph_server):

@@ -94,6 +94,46 @@ def average_hash(arr: np.ndarray) -> int:
     return val
 
 
+def payload_row_from_bytes(image_key: int, raw: bytes) -> dict | None:
+    """Payload-table row for a LIVE-fetched image: decode the REAL
+    bytes and derive w/h/fmt/phash from the decoded pixels; the
+    ``bytes`` column stores the fetched payload verbatim (the table is
+    the crawl's image store — re-encoding would lose fidelity). The
+    caption falls back to the deterministic synthetic caption — a real
+    deploy extracts it from the surrounding markup, which an image
+    response does not carry (reference: the converter only ever sees
+    the image URL + alt text it was linked with, `app/converter.py`
+    image handling). Returns None when the payload doesn't decode
+    (corrupt, truncated by max_bytes, or unknown container): the row
+    still converts through the error-containment path upstream, it
+    just lands no payload-table row."""
+    try:
+        arr = decode(raw)
+        fmt = "png" if raw[:4] == _MAGIC_LOSSLESS else "jpeg"
+    except Exception:
+        if not HAVE_PIL:  # pragma: no cover - PIL absent in sandbox
+            return None
+        try:  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(raw)).convert("RGB")
+            arr = np.asarray(img)
+            fmt = (img.format or "png").lower()
+        except Exception:
+            return None
+    return {
+        "image_id": f"img-{image_key}",
+        "bytes": raw,
+        "w": arr.shape[1],
+        "h": arr.shape[0],
+        "fmt": fmt,
+        "caption": synth_caption(image_key),
+        "phash": average_hash(arr),
+    }
+
+
 def make_payload_row(image_key: int) -> dict:
     """One synthetic payload-table row (FIXTURES.md §5 / input_hint shape)."""
     fmt = "png" if image_key % 2 == 0 else "jpeg"

@@ -642,10 +642,11 @@ def convert_stage(
     payload_col: LIVE mode — convert the REAL fetched bytes in that
     column instead of minting from graph feature bits. page_id is NULL
     in live mode, so a stable 63-bit md5 surrogate of the url stands in
-    (captions/ids stay deterministic). Live image rows convert to
-    metadata markdown but emit NO payload-table row: the image+caption
-    pair table (input_hint) is the minted corpus's contract — a real
-    deploy would extract captions from surrounding markup here.
+    (captions/ids stay deterministic). Live image rows decode the REAL
+    fetched bytes into the payload-table columns (bytes verbatim,
+    w/h/fmt/phash from the decoded pixels, deterministic caption
+    stand-in — see ``codec.payload_row_from_bytes``); rows whose bytes
+    don't decode (corrupt / max_bytes-truncated) emit no table row.
 
     Per-request overrides (reference schemas.py:44-53): a
     ``media_policy`` column (else ``cfg.media_policy``) governs the
@@ -725,8 +726,19 @@ def convert_stage(
                 out["llm_prompt"].append(
                     row["llm_prompt"] if has_prompt_col else None
                 )
-                if minted and ctype.startswith("image/"):
-                    p = codec.make_payload_row(int(pid))
+                p = None
+                if ctype.startswith("image/"):
+                    # minted rows synthesize the image+caption pair
+                    # keyed by page_id; LIVE rows decode the REAL
+                    # fetched bytes (w/h/fmt/phash from the pixels,
+                    # bytes stored verbatim) — undecodable live bytes
+                    # emit no row (payload_row_from_bytes docstring)
+                    p = (
+                        codec.make_payload_row(int(pid))
+                        if minted
+                        else codec.payload_row_from_bytes(int(pid), payload)
+                    )
+                if p is not None:
                     out["image_id"].append(p["image_id"])
                     out["image_bytes"].append(p["bytes"])
                     out["w"].append(p["w"])
