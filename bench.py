@@ -111,6 +111,8 @@ def main() -> None:
         "cosine_topk",
         "cosine_topk_lsh",
         "embedding_near_dup",
+        "image_features",
+        "phash_near_dup",
     ]
     qmap = {
         name: getattr(Q, f"q_{name}")

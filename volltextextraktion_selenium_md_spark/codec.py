@@ -94,6 +94,52 @@ def average_hash(arr: np.ndarray) -> int:
     return val
 
 
+_MAGIC_VIDEO = b"RAWV"
+
+
+def encode_frames(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    """Multi-frame container (deterministic video stand-in — the
+    sandbox has no video libs, per task instructions the container is
+    a clearly-marked fake while the Spark-side plumbing is real):
+    magic + frame count, then length-prefixed per-frame payloads in
+    the single-image codec."""
+    parts = [encode(f, fmt) for f in frames]
+    out = [_MAGIC_VIDEO, struct.pack("<I", len(parts))]
+    for p in parts:
+        out.append(struct.pack("<I", len(p)))
+        out.append(p)
+    return b"".join(out)
+
+
+def iter_frames(raw: bytes):
+    """Yield (frame_idx, encoded_frame_bytes) from an encode_frames
+    container, streaming — one frame resident at a time."""
+    if raw[:4] != _MAGIC_VIDEO:
+        raise ValueError("not a RAWV container")
+    (n,) = struct.unpack("<I", raw[4:8])
+    pos = 8
+    for idx in range(n):
+        (ln,) = struct.unpack("<I", raw[pos:pos + 4])
+        pos += 4
+        frame = raw[pos:pos + ln]
+        if len(frame) != ln:
+            raise ValueError("truncated RAWV container")
+        pos += ln
+        yield idx, frame
+
+
+def synth_frames(video_key: int, n_frames: int = 6, w: int = 24, h: int = 16) -> list[np.ndarray]:
+    """Deterministic frame stack keyed by an integer: frame 0 is
+    synth_image(video_key); each later frame perturbs a sliding pixel
+    of its predecessor (temporally-correlated, like real video)."""
+    frames = [synth_image(video_key, w=w, h=h)]
+    for i in range(1, n_frames):
+        nxt = frames[-1].copy()
+        nxt[i % h, i % w, i % 3] ^= 1
+        frames.append(nxt)
+    return frames
+
+
 def payload_row_from_bytes(image_key: int, raw: bytes) -> dict | None:
     """Payload-table row for a LIVE-fetched image: decode the REAL
     bytes and derive w/h/fmt/phash from the decoded pixels; the

@@ -874,6 +874,64 @@ def q_payload_table(spark, sf_dir):
     return res.payloads.select("image_id", "w", "h", "fmt", "caption", "phash")
 
 
+# --- image-axis pipeline (bench + pytest surface; the driver query
+# list is at its 50-entry cap, so these are verified by independent
+# numpy recompute in tests/test_images.py instead of a DuckDB oracle —
+# the banding math itself is oracle-checked via simhash_dup_pairs) ----
+
+PHASH_MAX_HAMMING = 4
+PHASH_MAX_BUCKET = 64
+IMG_VARIANT_EVERY = 3
+
+
+def _image_corpus(spark, sf_dir, variants_every: int = IMG_VARIANT_EVERY):
+    """Deterministic image-store corpus keyed by documents.doc_id: one
+    encoded image per doc (alternating lossless/lossy container) plus,
+    for every ``variants_every``-th doc, a near-duplicate variant — a
+    single-pixel perturbation of the STORED (decoded) pixels, the way
+    a re-hosted/re-encoded copy shows up in a real crawl store."""
+    import pandas as pd
+
+    from volltextextraktion_selenium_md_spark import codec
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def mint(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": []}
+            for did in pdf["doc_id"]:
+                k = int(did)
+                arr = codec.synth_image(k)
+                raw = codec.encode(arr, "png" if k % 2 == 0 else "jpeg")
+                out["image_id"].append(f"img-{k}")
+                out["bytes"].append(raw)
+                if k % variants_every == 0:
+                    v = codec.decode(raw).copy()
+                    v[0, 0, 0] ^= 1
+                    out["image_id"].append(f"img-{k}-v")
+                    out["bytes"].append(codec.encode(v, "png"))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(mint, schema="image_id string, bytes binary")
+
+
+def q_image_features(spark, sf_dir):
+    """Decode + feature-extract (w/h/fmt/phash) over the image corpus."""
+    from volltextextraktion_selenium_md_spark.operators import images
+
+    return images.image_features(_image_corpus(spark, sf_dir))
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-dup pairs: decode -> phash -> banded Hamming join."""
+    from volltextextraktion_selenium_md_spark.operators import images
+
+    feats = images.image_features(_image_corpus(spark, sf_dir))
+    return images.phash_near_dup(
+        feats, max_hamming=PHASH_MAX_HAMMING, max_bucket=PHASH_MAX_BUCKET
+    )
+
+
 # --- shared test-case view bodies (also composed into the oracle SQL) --------
 
 LINK_CASES_BODY = """
