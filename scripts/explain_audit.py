@@ -142,6 +142,26 @@ def main() -> None:
         p5,
     ))
 
+    # 6. image near-dup: banded equi-join, never a nested-loop pairing
+    from volltextextraktion_selenium_md_spark.operators import images
+    from volltextextraktion_selenium_md_spark.plans import queries as Q
+
+    feats = images.image_features(Q._image_corpus(spark, SF))
+    p6 = formatted(images.phash_near_dup(feats))
+    if "MapInPandas" not in p6 and "ArrowEvalPython" not in p6:
+        problems.append("image_features is not Arrow-vectorized")
+    if "CartesianProduct" in p6 or "BroadcastNestedLoopJoin" in p6:
+        problems.append("phash_near_dup pairs via nested loop, not the banded equi-join")
+    if "Window" not in p6:
+        problems.append("phash_near_dup lost its max_bucket rank cut")
+    sections.append((
+        "Image near-dup: banded Hamming equi-join",
+        "Decode/phash is one Arrow-batched MapInPandas; pairing is an "
+        "equi-join on (band, bucket) behind the max_bucket rank window — "
+        "no nested-loop/cartesian pairing anywhere in the plan.",
+        p6,
+    ))
+
     out = ["# EXPLAIN — physical-plan audit", "",
            f"Input `{SF}`. Regenerate: `python scripts/explain_audit.py`.", ""]
     status = "ALL CHECKS PASS" if not problems else "PROBLEMS: " + "; ".join(problems)

@@ -148,6 +148,27 @@ def test_sample_frames_every_kth(spark):
             assert (r["w"], r["h"]) == (frames[i].shape[1], frames[i].shape[0])
 
 
+def test_image_features_closes_loop_with_crawled_payloads(spark):
+    """Crawl -> payload table -> image_features(bytes) reproduces the
+    stored w/h/fmt/phash columns exactly: the feature extractor and the
+    engine's convert-stage decode agree on every real crawled image."""
+    from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
+
+    res = CrawlEngine(spark, SF_SMALL, with_convert=True).run()
+    assert res.payloads is not None
+    stored = {r["image_id"]: r for r in res.payloads.collect()}
+    assert stored
+    recomputed = images.image_features(
+        res.payloads.select("image_id", "bytes")
+    ).collect()
+    assert {r["image_id"] for r in recomputed} == set(stored)
+    for r in recomputed:
+        s = stored[r["image_id"]]
+        assert (r["w"], r["h"], r["fmt"], r["phash"]) == (
+            s["w"], s["h"], s["fmt"], s["phash"]
+        )
+
+
 def test_query_wrappers_run_at_sf_small(spark):
     feats = Q.q_image_features(spark, SF_SMALL)
     pairs = Q.q_phash_near_dup(spark, SF_SMALL)
