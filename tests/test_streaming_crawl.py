@@ -1,0 +1,140 @@
+"""Service-mode crawling (streaming/crawl.py): a stream of
+CrawlRequests is crawled incrementally against the persistent snapshot
+store — the reference's long-running FastAPI loop (app/main.py: each
+POST /extract is served against the live service state). Exactness
+chain: streaming == sequential engine batches == golden replay with
+the seen set carried across batches."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from tests.test_frontier_replay import KEY, _gold_order, _spark_order
+from volltextextraktion_selenium_md_spark import graph
+from volltextextraktion_selenium_md_spark.config import CrawlConfig
+from volltextextraktion_selenium_md_spark.plans.frontier import CrawlEngine
+from volltextextraktion_selenium_md_spark.replay import _SEED_COLS, replay_crawl
+
+
+def _seed_halves(spark):
+    """The graph seed list split in two arrival batches (seed_idx is
+    the service's FIFO arrival order, preserved across the split)."""
+    graph.register_graph_views(spark, SF_SMALL)
+    seeds = graph.seeds(spark)
+    rows = seeds.orderBy("seed_idx").collect()
+    half = len(rows) // 2
+    df1 = spark.createDataFrame(rows[:half], seeds.schema)
+    df2 = spark.createDataFrame(rows[half:], seeds.schema)
+    d1 = [{k: r[k] for k in _SEED_COLS} for r in rows[:half]]
+    d2 = [{k: r[k] for k in _SEED_COLS} for r in rows[half:]]
+    return df1, df2, d1, d2
+
+
+def _concat_gold(*reps):
+    """Concatenated golden logs of sequential batches, renumbered the
+    way the engine's cumulative global ordinal numbers them (batch k+1
+    rounds all exceed batch k's, so concatenation is already in
+    (round, depth, lineage) order)."""
+    gold = [dict(g) for rep in reps for g in rep.crawl_order]
+    for i, row in enumerate(gold, start=1):
+        row["ordinal"] = i
+    return [tuple(g[k] for k in KEY) for g in gold]
+
+
+def test_incremental_new_seeds_match_replay(spark, tmp_path):
+    cfg = CrawlConfig()
+    df1, df2, d1, d2 = _seed_halves(spark)
+    store = str(tmp_path / "store")
+
+    r1 = CrawlEngine(
+        spark, SF_SMALL, cfg, checkpoint_dir=store, new_seeds=df1
+    ).run()
+    g1 = replay_crawl(SF_SMALL, cfg, seeds=d1)
+    assert _spark_order(r1) == _gold_order(g1)
+
+    # batch 2 joins the persistent crawl: already-seen request URLs are
+    # dropped, new ones BFS from the resumed round with a fresh budget
+    r2 = CrawlEngine(
+        spark, SF_SMALL, cfg, checkpoint_dir=store, new_seeds=df2
+    ).run()
+    g2 = replay_crawl(
+        SF_SMALL, cfg, seeds=d2, initial_seen=g1.seen, start_round=g1.rounds
+    )
+    assert _spark_order(r2) == _concat_gold(g1, g2)
+    assert {r["url"] for r in r2.seen.collect()} == g2.seen
+
+    # non-vacuous: batch 2 crawled real new work, AND the carried seen
+    # set actually pruned it (the same batch standalone crawls more)
+    assert len(g2.crawl_order) > 0
+    g2_alone = replay_crawl(SF_SMALL, cfg, seeds=d2)
+    assert len(g2.crawl_order) < len(g2_alone.crawl_order)
+
+
+def test_already_extracted_requests_are_skipped(spark, tmp_path):
+    """Re-POSTing the same requests is the service's cache-hit path:
+    the second run must fetch NOTHING new and leave the store's log
+    identical."""
+    cfg = CrawlConfig()
+    df1, _, d1, _ = _seed_halves(spark)
+    store = str(tmp_path / "store")
+    r1 = CrawlEngine(
+        spark, SF_SMALL, cfg, checkpoint_dir=store, new_seeds=df1
+    ).run()
+    n1 = r1.fetch_log.count()
+    r2 = CrawlEngine(
+        spark, SF_SMALL, cfg, checkpoint_dir=store, new_seeds=df1
+    ).run()
+    assert r2.fetch_log.count() == n1
+    assert _spark_order(r2) == _spark_order(r1)
+
+
+def test_stream_crawl_two_microbatches_match_replay(spark, tmp_path):
+    """The streaming entry point end-to-end: two request files arrive
+    between two availableNow drains; the store's cumulative fetch log
+    equals the concatenated golden replay."""
+    from volltextextraktion_selenium_md_spark.sources.lakehouse import (
+        SnapshotStore,
+    )
+    from volltextextraktion_selenium_md_spark.streaming.crawl import (
+        crawl_request_stream,
+    )
+
+    cfg = CrawlConfig()
+    df1, df2, d1, d2 = _seed_halves(spark)
+    req_dir = str(tmp_path / "requests")
+    stream_ckpt = str(tmp_path / "stream_ckpt")
+    store = str(tmp_path / "store")
+
+    schema = df1.schema
+    df1.coalesce(1).write.mode("append").parquet(req_dir)
+    requests = spark.readStream.schema(schema).parquet(req_dir)
+    q = crawl_request_stream(
+        spark, SF_SMALL, requests, store, stream_ckpt, cfg=cfg
+    )
+    q.awaitTermination()
+
+    df2.coalesce(1).write.mode("append").parquet(req_dir)
+    requests = spark.readStream.schema(schema).parquet(req_dir)
+    q = crawl_request_stream(
+        spark, SF_SMALL, requests, store, stream_ckpt, cfg=cfg
+    )
+    q.awaitTermination()
+
+    g1 = replay_crawl(SF_SMALL, cfg, seeds=d1)
+    g2 = replay_crawl(
+        SF_SMALL, cfg, seeds=d2, initial_seen=g1.seen, start_round=g1.rounds
+    )
+    log = SnapshotStore(store).read(spark, "fetch_log")
+    got = [
+        tuple(r[k] for k in KEY if k != "ordinal")
+        for r in log.filter("outcome <> 'blocked'")
+        .orderBy("round", "depth", "lineage")
+        .collect()
+    ]
+    gold = [
+        t[1:] for t in _concat_gold(g1, g2)  # drop the ordinal column
+    ]
+    assert got == gold
+    seen = SnapshotStore(store).read(spark, "seen")
+    assert {r["url"] for r in seen.collect()} == g2.seen

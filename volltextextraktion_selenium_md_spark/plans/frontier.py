@@ -283,6 +283,7 @@ class CrawlEngine:
         seen_partitioned_min_rows: int | None = None,
         adaptive_shuffle_width: bool | None = None,
         shuffle_rows_per_task: int | None = None,
+        new_seeds: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -426,6 +427,22 @@ class CrawlEngine:
         self.robots = graph.robots(spark)
         self.links = graph.links(spark)
         self.seeds = graph.seeds(spark)
+        # service mode (reference: the long-running FastAPI app —
+        # app/main.py serves POST /extract requests as they arrive, each
+        # against the live service state): ``new_seeds`` is a batch of
+        # CrawlRequest rows (raw_url, seed_idx, priority + any
+        # REQUEST_COLS; missing ones take the reference defaults). On a
+        # fresh store they simply ARE the crawl's seeds; on a resumed
+        # store they join the persistent crawl — requests whose
+        # canonical URL is already in the seen table are dropped (the
+        # service's already-extracted fast path), the rest enter at
+        # depth 0 and BFS with a fresh ``max_rounds`` budget relative
+        # to the resumed round. Used by streaming/crawl.py's
+        # foreachBatch wrapper; incompatible with benchmark mirroring.
+        self.new_seeds = new_seeds
+        if new_seeds is not None:
+            assert mirrors == 1, "new_seeds is a service-mode feature"
+            self.seeds = new_seeds
         self.mirrors = mirrors
         self.span = 0
         # factored mirroring (default): BOTH fat tables (pages, links)
@@ -662,6 +679,7 @@ class CrawlEngine:
 
         rnd = 0
         resume_filter = None  # bloom/SeenSet restored from checkpoint blob
+        fresh_seeds = None  # service-mode new_seeds injected on a resume
         if self.store is not None and self.store.latest() is not None:
             # resume from the latest published snapshot: frontier, seen,
             # cumulative log AND filter state restore exactly; rounds
@@ -714,6 +732,28 @@ class CrawlEngine:
                 self.cuckoo = ShardedCuckooFilter.from_bytes(
                     self.store.read_blob("seen_cuckoo")
                 )
+            if self.new_seeds is not None:
+                # service mode: this batch of CrawlRequests joins the
+                # PERSISTENT crawl. Exact anti-join against the restored
+                # seen table drops already-extracted URLs (the service's
+                # fast path); survivors enter the frontier at depth 0
+                # and are committed to the seen set immediately, exactly
+                # like round-0 seeds of a fresh crawl (replay twin:
+                # replay_crawl(seeds=..., initial_seen=..., start_round=...))
+                nf = seen_ops.with_hashes(
+                    init_frontier(self.spark, self.new_seeds)
+                ).withColumn("round_added", F.lit(rnd))
+                fresh_seeds = seen_ops.filter_unseen_parts(
+                    nf, seen_parts,
+                    broadcast_base=(
+                        not self._seen_partitioned
+                        and n_seen <= self.seen_partitioned_min_rows
+                    ),
+                ).select(*frontier.columns).localCheckpoint()
+                frontier = frontier.unionByName(
+                    fresh_seeds
+                ).localCheckpoint()
+                seen_parts.append(fresh_seeds.select("url", "h1", "h2"))
         else:
             frontier = seen_ops.with_hashes(
                 init_frontier(self.spark, self.seeds)
@@ -731,12 +771,28 @@ class CrawlEngine:
                     self.cuckoo,
                     seen_parts[0].select("h1", F.lit("i").alias("op")),
                 )
+        if self.use_cuckoo and fresh_seeds is not None:
+            # service mode: the batch's surviving requests are first-
+            # seen rows — insert them into the deletable ledger the same
+            # way round-0 seeds are on a fresh crawl
+            seen_ops.cuckoo_update_df(
+                self.cuckoo,
+                fresh_seeds.select("h1", F.lit("i").alias("op")),
+            )
         # one count per round doubles as the loop-exit test AND the seen-
         # cardinality input for bloom sizing — no extra driver actions
         n_frontier = frontier.count()
         n_seen = n_seen or n_frontier
         round_walls: list[float] = []
-        while rnd < cfg.max_rounds and n_frontier > 0:
+        # service mode: each request batch gets its own max_rounds
+        # budget relative to the resumed round (the service serves each
+        # POST in full); a plain resume keeps the absolute budget — it
+        # is the SAME interrupted crawl continuing
+        rnd_limit = (
+            rnd + cfg.max_rounds if self.new_seeds is not None
+            else cfg.max_rounds
+        )
+        while rnd < rnd_limit and n_frontier > 0:
             _t_round = _time.time()
             # the loop rebinds `frontier` to the NEXT round's mid-body;
             # keep a handle on THIS round's so end-of-round hygiene can

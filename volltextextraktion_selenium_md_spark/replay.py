@@ -169,13 +169,30 @@ def _request_cost_ms(
     return base, escalated
 
 
-def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
+def replay_crawl(
+    sf_dir: str,
+    cfg: CrawlConfig | None = None,
+    seeds: list[dict] | None = None,
+    initial_seen: set[str] | None = None,
+    start_round: int = 0,
+) -> ReplayResult:
+    """Golden single-threaded crawl. The optional parameters are the
+    SERVICE-mode twin (CrawlEngine(new_seeds=...) on a resumed store):
+    ``seeds`` replaces the graph seed list with an explicit batch of
+    request dicts (_SEED_COLS keys), ``initial_seen`` carries the seen
+    set of the previous batches (requests already extracted are
+    dropped, exactly the engine's anti-join fast path), and
+    ``start_round`` continues the round numbering so the concatenated
+    logs of sequential batches are directly comparable to the engine's
+    cumulative fetch log."""
     cfg = cfg or CrawlConfig()
-    pages, links, seeds, robots = _load_graph(sf_dir)
+    pages, links, graph_seeds, robots = _load_graph(sf_dir)
+    if seeds is None:
+        seeds = graph_seeds
 
     # round 0 init: canonicalize seeds, first-seen dedup in seed order
     frontier: list[dict] = []
-    seen: set[str] = set()
+    seen: set[str] = set(initial_seen or ())
     for s in seeds:
         url = canonicalize_one(s["raw_url"])
         if url in seen:
@@ -193,8 +210,8 @@ def replay_crawl(sf_dir: str, cfg: CrawlConfig | None = None) -> ReplayResult:
 
     crawl_order: list[dict] = []
     blocked_log: list[str] = []
-    rnd = 0
-    while frontier and rnd < cfg.max_rounds:
+    rnd = start_round
+    while frontier and rnd < start_round + cfg.max_rounds:
         frontier.sort(key=lambda r: (r["depth"], r["lineage"]))
         next_frontier: list[dict] = []
         children: list[dict] = []
