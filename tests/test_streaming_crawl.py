@@ -71,6 +71,30 @@ def test_incremental_new_seeds_match_replay(spark, tmp_path):
     assert len(g2.crawl_order) < len(g2_alone.crawl_order)
 
 
+def test_incremental_with_filters_and_convert(spark, tmp_path):
+    """Service batches with the full state surface on: bloom prefilter,
+    deletable cuckoo ledger, and the convert stage whose payload table
+    accumulates across batches in the same store."""
+    cfg = CrawlConfig()
+    df1, df2, d1, d2 = _seed_halves(spark)
+    store = str(tmp_path / "store")
+    kw = dict(
+        checkpoint_dir=store, use_bloom=True, use_cuckoo=True,
+        with_convert=True,
+    )
+    r1 = CrawlEngine(spark, SF_SMALL, cfg, new_seeds=df1, **kw).run()
+    n_pay1 = r1.payloads.count() if r1.payloads is not None else 0
+    r2 = CrawlEngine(spark, SF_SMALL, cfg, new_seeds=df2, **kw).run()
+    g1 = replay_crawl(SF_SMALL, cfg, seeds=d1)
+    g2 = replay_crawl(
+        SF_SMALL, cfg, seeds=d2, initial_seen=g1.seen, start_round=g1.rounds
+    )
+    assert _spark_order(r2) == _concat_gold(g1, g2)
+    # payload MERGE accumulated batch 2's images on top of batch 1's
+    assert r2.payloads is not None
+    assert r2.payloads.count() > n_pay1 > 0
+
+
 def test_already_extracted_requests_are_skipped(spark, tmp_path):
     """Re-POSTing the same requests is the service's cache-hit path:
     the second run must fetch NOTHING new and leave the store's log
