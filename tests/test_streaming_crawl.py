@@ -113,6 +113,38 @@ def test_already_extracted_requests_are_skipped(spark, tmp_path):
     assert _spark_order(r2) == _spark_order(r1)
 
 
+def test_request_results_returns_one_requests_subtree(spark, tmp_path):
+    """The per-request response accessor: the rows of exactly that
+    request's crawl subtree (lineage prefix), in crawl order."""
+    from volltextextraktion_selenium_md_spark.streaming.crawl import (
+        request_results,
+    )
+
+    cfg = CrawlConfig()
+    df1, _, d1, _ = _seed_halves(spark)
+    store = str(tmp_path / "store")
+    CrawlEngine(
+        spark, SF_SMALL, cfg, checkpoint_dir=store, new_seeds=df1
+    ).run()
+    g1 = replay_crawl(SF_SMALL, cfg, seeds=d1)
+    idx = d1[0]["seed_idx"]
+    res = request_results(spark, store, idx)
+    got = [
+        (r["url"], r["lineage"], r["outcome"])
+        for r in res.collect()
+        # replay's crawl_order excludes robots-blocked rows; the
+        # accessor returns them (part of the request's response story)
+        if r["outcome"] != "blocked"
+    ]
+    prefix = f"{idx:06d}"
+    gold = [
+        (g["url"], g["lineage"], g["outcome"])
+        for g in g1.crawl_order
+        if g["lineage"] == prefix or g["lineage"].startswith(prefix + ".")
+    ]
+    assert got == gold and len(got) > 1
+
+
 def test_stream_crawl_two_microbatches_match_replay(spark, tmp_path):
     """The streaming entry point end-to-end: two request files arrive
     between two availableNow drains; the store's cumulative fetch log

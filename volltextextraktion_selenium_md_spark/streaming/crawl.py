@@ -79,3 +79,27 @@ def crawl_request_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def request_results(
+    spark: SparkSession, store_dir: str, seed_idx: int
+) -> DataFrame:
+    """The service's response body for ONE request: every fetch-log row
+    of the request's crawl subtree, in crawl order. The lineage key is
+    the recursive crawl-order address and its first segment is the
+    zero-padded seed index (``plans/frontier.py:init_frontier``), so a
+    request's whole subtree is a prefix filter on the store's
+    cumulative log — no join, and at lakehouse scale a sorted/bucketed
+    lineage column makes this a range scan."""
+    from pyspark.sql import functions as F
+
+    from volltextextraktion_selenium_md_spark.sources.lakehouse import (
+        SnapshotStore,
+    )
+
+    log = SnapshotStore(store_dir).read(spark, "fetch_log")
+    prefix = f"{seed_idx:06d}"
+    return log.filter(
+        (F.col("lineage") == prefix)
+        | F.col("lineage").startswith(prefix + ".")
+    ).orderBy("round", "depth", "lineage")
