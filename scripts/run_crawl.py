@@ -38,6 +38,14 @@ def main() -> None:
     ap.add_argument("--payload-scale", type=int, default=1)
     ap.add_argument("--convert", action="store_true", help="run the convert stage")
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument(
+        "--requests", default=None,
+        help="service mode: parquet of CrawlRequest rows (raw_url, "
+             "seed_idx, priority + optional request columns) served "
+             "INCREMENTALLY against --checkpoint-dir's persistent store "
+             "(already-extracted URLs skipped); repeat the submit with "
+             "a new file to serve the next batch",
+    )
     args = ap.parse_args()
 
     # package import works both from --py-files zip and from the repo
@@ -53,12 +61,17 @@ def main() -> None:
         host_budget_per_round=args.host_budget,
         payload_scale=args.payload_scale,
     )
+    new_seeds = None
+    if args.requests is not None:
+        if not args.checkpoint_dir:
+            ap.error("--requests (service mode) requires --checkpoint-dir")
+        new_seeds = spark.read.parquet(args.requests)
     t0 = time.time()
     res = CrawlEngine(
         spark, args.sf_dir, cfg=cfg,
         with_convert=args.convert, use_bloom=args.use_bloom,
         mirrors=args.mirrors, checkpoint_dir=args.checkpoint_dir,
-        collect_round_counts=False,
+        collect_round_counts=False, new_seeds=new_seeds,
     ).run()
 
     res.fetch_log.write.mode("overwrite").parquet(f"{args.out}/fetch_log")
