@@ -113,6 +113,76 @@ def test_already_extracted_requests_are_skipped(spark, tmp_path):
     assert _spark_order(r2) == _spark_order(r1)
 
 
+def _seed_dict(idx, url):
+    d = {c: None for c in _SEED_COLS}
+    d.update(
+        seed_idx=idx, priority=0, raw_url=url, mode="fast",
+        js_strategy="speed", llm_anonymize=False, llm_postprocess=False,
+        extract_links=True,
+    )
+    return d
+
+
+_SEED_DDL = (
+    "raw_url string, seed_idx bigint, priority int, mode string, "
+    "js_strategy string, llm_anonymize boolean, llm_postprocess boolean, "
+    "extract_links boolean"
+)
+
+
+def _seed_row(d):
+    return (
+        d["raw_url"], d["seed_idx"], d["priority"], d["mode"],
+        d["js_strategy"], d["llm_anonymize"], d["llm_postprocess"],
+        d["extract_links"],
+    )
+
+
+def test_resume_filter_covers_same_batch_seed_urls(spark, tmp_path):
+    """Regression: the restored bloom blob covers the RESTORED seen
+    table only — a request batch's fresh seeds must be folded into it,
+    or the first post-resume round's prefilter routes a child link
+    equal to a same-batch seed URL around the anti-join as "definitely
+    new" and crawls it twice. Construction: batch 2 = seeds A and B
+    where page A links to B (verified as a precondition), batch 1 = an
+    unrelated page whose depth-1 neighborhood avoids both."""
+    A = "https://host8.example.com/page/10"
+    B = "https://host43.example.com/page/124"
+    C = "https://host0.example.com/page/12"
+
+    d1 = [_seed_dict(0, C)]
+    d2 = [_seed_dict(1, A), _seed_dict(2, B)]
+    df1 = spark.createDataFrame([_seed_row(d) for d in d1], _SEED_DDL)
+    df2 = spark.createDataFrame([_seed_row(d) for d in d2], _SEED_DDL)
+
+    cfg = CrawlConfig(max_depth=1)
+    store = str(tmp_path / "store")
+    kw = dict(checkpoint_dir=store, use_bloom=True)
+    CrawlEngine(spark, SF_SMALL, cfg, new_seeds=df1, **kw).run()
+    r2 = CrawlEngine(spark, SF_SMALL, cfg, new_seeds=df2, **kw).run()
+
+    g1 = replay_crawl(SF_SMALL, cfg, seeds=d1)
+    g2 = replay_crawl(
+        SF_SMALL, cfg, seeds=d2, initial_seen=g1.seen, start_round=g1.rounds
+    )
+    # preconditions: B crawled once at depth 0, and A really links to B
+    # (so the duplicate-child exposure exists in the first post-resume
+    # round)
+    assert [g["depth"] for g in g2.crawl_order if g["url"] == B] == [0]
+    from volltextextraktion_selenium_md_spark.replay import (
+        _load_graph,
+        canonicalize_one,
+    )
+    pages, links, _, _ = _load_graph(SF_SMALL)
+    a_children = {
+        canonicalize_one(raw)
+        for (_, raw, _) in links.get(pages[A]["page_id"], [])
+    }
+    assert B in a_children
+
+    assert _spark_order(r2) == _concat_gold(g1, g2)
+
+
 def test_request_results_returns_one_requests_subtree(spark, tmp_path):
     """The per-request response accessor: the rows of exactly that
     request's crawl subtree (lineage prefix), in crawl order."""

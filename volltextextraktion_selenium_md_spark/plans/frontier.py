@@ -754,6 +754,21 @@ class CrawlEngine:
                     fresh_seeds
                 ).localCheckpoint()
                 seen_parts.append(fresh_seeds.select("url", "h1", "h2"))
+                if resume_filter is not None:
+                    # the restored filter blob covers the RESTORED seen
+                    # table only — fold the batch's surviving seeds in,
+                    # or the first post-resume round's prefilter would
+                    # route a child link equal to a same-batch seed URL
+                    # around the anti-join as "definitely new" (crawled
+                    # twice). Later rounds rebuild from seen_parts and
+                    # are safe either way.
+                    delta = fresh_seeds.select("h1", "h2")
+                    if isinstance(resume_filter, seen_ops.SeenSet):
+                        resume_filter.fold_delta_df(delta)
+                    else:
+                        resume_filter = seen_ops.build_bloom_like(
+                            delta, resume_filter
+                        )
         else:
             frontier = seen_ops.with_hashes(
                 init_frontier(self.spark, self.seeds)
