@@ -45,6 +45,39 @@ def test_crawl_order_and_seen_exact_match(spark, use_bloom):
     assert any(g["js_escalated"] for g in rep.crawl_order)
 
 
+def test_incremental_filter_maintenance(spark):
+    """The maintained seen filter folds per-round deltas instead of
+    rebuilding from the whole seen set every round; full rebuilds only
+    happen on the geometric resize schedule. Invariants: (a) crawl
+    still exactly matches the golden replay, (b) at end of crawl the
+    filter claims EVERY seen url (bloom false negatives are
+    correctness bugs — a missed key would bypass the anti-join),
+    (c) at least one multi-url round folded rather than rebuilt."""
+    import numpy as np
+
+    from volltextextraktion_selenium_md_spark.operators import seen as seen_ops
+
+    cfg = CrawlConfig(max_depth=3, max_rounds=8)
+    rep = replay_crawl(SF_SMALL, cfg)
+    eng = CrawlEngine(spark, SF_SMALL, cfg, use_bloom=True)
+    res = eng.run()
+    assert _spark_order(res) == _gold_order(rep)
+
+    assert res.rounds > 2
+    assert eng._filter_rebuilds < res.rounds
+
+    filt = eng._seen_filter
+    assert filt is not None
+    rows = (
+        seen_ops.with_hashes(res.seen.select("url"))
+        .select("h1", "h2")
+        .collect()
+    )
+    h1 = np.array([r["h1"] for r in rows], dtype=np.int64)
+    h2 = np.array([r["h2"] for r in rows], dtype=np.int64)
+    assert bool(filt.contains(h1, h2).all())
+
+
 def test_tight_budget_and_retries_still_match(spark):
     """Politeness pressure: small per-host budget forces multi-round
     deferral; retries interleave with deferred rows."""

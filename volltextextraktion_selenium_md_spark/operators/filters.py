@@ -60,6 +60,15 @@ class BloomFilter:
         bit = (word >> (pos % np.uint64(64))) & np.uint64(1)
         return bit.all(axis=1)
 
+    @property
+    def capacity(self) -> int:
+        """Approximate n_items this filter was sized for (inverts the
+        standard sizing: n = m·ln2/k). Used by the engine's incremental
+        maintenance to decide when folding deltas must give way to a
+        resize-rebuild — past this load the fp rate exceeds the design
+        point (still correct: fp only sends rows to the exact join)."""
+        return max(1, int(self.m * np.log(2) / self.k))
+
     # -- (de)serialization for checkpointing alongside Iceberg snapshots --
     def to_bytes(self) -> bytes:
         header = np.array([self.m, self.k], dtype=np.int64).tobytes()

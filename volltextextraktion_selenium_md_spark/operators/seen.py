@@ -35,14 +35,28 @@ def with_hashes(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("h1", url_hash(url_col)).withColumn("h2", url_hash2(url_col))
 
 
-def build_bloom_like(df: DataFrame, proto: BloomFilter) -> BloomFilter:
+def build_bloom_like(
+    df: DataFrame, proto: BloomFilter, max_partials: int | None = None
+) -> BloomFilter:
     """Distributed bloom build with ``proto``'s (m, k): one numpy bloom
     per partition built inside an Arrow-batched ``mapInPandas`` pass,
     partial bitsets returned as one binary row per partition; the driver
     ORs ~P small bitsets and never sees a key — the collect is O(filter
     bytes), never O(rows). Used both for full builds and for folding a
-    round's DELTA into an existing filter (``proto.union(result)``)."""
+    round's DELTA into an existing filter (``proto.union(result)``).
+
+    ``max_partials`` coalesces ``df`` first: each partial blob is a
+    FULL-size bitset, so folding a small delta through many partitions
+    pays O(partitions × m bits) of blob traffic for no parallelism win
+    (measured: 70 s vs 19 s folding a 100k-row delta into a 32M-item
+    bloom at 32 vs 8 partials). Full builds want the parallelism and
+    leave it unset; at genuinely large capacity the sharded ``SeenSet``
+    is the design path (per-shard blobs stay small — its delta fold is
+    flat ~0.5-0.8 s from 1M to 16M seen while monolithic rebuild grows
+    linearly)."""
     m, k, nbits = proto.m, proto.k, len(proto.bits)
+    if max_partials:
+        df = df.coalesce(max_partials)
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -177,6 +191,18 @@ class SeenSet:
         per_shard = max(n_items // n_shards, 64)
         probe = BloomFilter(per_shard, fp_rate)  # fixes (m, k) per shard
         return cls(cls._shard_partials(seen, probe, n_shards), n_shards)
+
+    @property
+    def capacity(self) -> int:
+        """Approximate total n_items the shard set was sized for
+        (per-shard m·ln2/k × n_shards — all shards share one (m, k)).
+        Drives the engine's fold-vs-resize decision; an over-full
+        filter only raises the fp rate (rows still hit the exact join),
+        never misses a seen key."""
+        if not self.shards:
+            return 0
+        proto = next(iter(self.shards.values()))
+        return max(1, int(proto.capacity)) * self.n_shards
 
     def fold_delta_df(self, delta: DataFrame) -> None:
         """Fold a round's (h1, h2) delta in WITHOUT collecting keys to

@@ -377,6 +377,12 @@ class CrawlEngine:
             )
         self.seen_partitioned_min_rows = seen_partitioned_min_rows
         self._seen_partitioned = False
+        # incrementally-maintained seen filter (use_bloom/seen_shards):
+        # full builds only on the geometric resize schedule; per-round
+        # deltas fold in via executor-side partial bitsets (O(delta))
+        self._seen_filter = None
+        self._filter_pending: list[DataFrame] = []
+        self._filter_rebuilds = 0  # observability: resize-rebuild count
         # convert-task granularity multiplier for the pipelined path
         # (round-4 verdict #3 "finer convert tasks")
         self.convert_task_factor = max(
@@ -767,7 +773,7 @@ class CrawlEngine:
                         resume_filter.fold_delta_df(delta)
                     else:
                         resume_filter = seen_ops.build_bloom_like(
-                            delta, resume_filter
+                            delta, resume_filter, max_partials=8
                         )
         else:
             frontier = seen_ops.with_hashes(
@@ -1119,20 +1125,42 @@ class CrawlEngine:
             if self.use_bloom:
                 if resume_filter is not None:
                     # first round after a resume: the checkpoint blob
-                    # already covers the restored seen table — no
-                    # rebuild scan (sources/lakehouse.py contract)
-                    bloom, resume_filter = resume_filter, None
-                elif self.seen_shards > 0:
-                    bloom = seen_ops.SeenSet.build(
-                        self._union_parts(seen_parts),
-                        n_items=max(n_seen, 1024) * 2,
-                        n_shards=self.seen_shards,
-                    )
-                else:
-                    bloom = seen_ops.build_bloom(
-                        self._union_parts(seen_parts),
-                        n_items=max(n_seen, 1024) * 2,
-                    )
+                    # (plus any service-batch seed fold) already covers
+                    # the restored seen table — it simply BECOMES the
+                    # maintained filter (sources/lakehouse.py contract)
+                    self._seen_filter, resume_filter = resume_filter, None
+                    self._filter_pending = []
+                filt = self._seen_filter
+                _t_bf = _time.time()
+                if filt is None or n_seen > filt.capacity:
+                    # (re)build with 2x headroom. INCREMENTAL
+                    # maintenance: each round's delta is folded in at
+                    # end-of-round (O(delta) executor-side partials), so
+                    # this O(total seen) scan runs only on the geometric
+                    # resize schedule — O(log n_seen) times over a
+                    # crawl, never once per round. An over-full filter
+                    # between resizes only raises the fp rate (fp rows
+                    # still hit the exact anti-join); misses cannot
+                    # occur because the fold lands before the delta's
+                    # checkpoint blocks are released.
+                    if self.seen_shards > 0:
+                        filt = seen_ops.SeenSet.build(
+                            self._union_parts(seen_parts),
+                            n_items=max(n_seen, 1024) * 2,
+                            n_shards=self.seen_shards,
+                        )
+                    else:
+                        filt = seen_ops.build_bloom(
+                            self._union_parts(seen_parts),
+                            n_items=max(n_seen, 1024) * 2,
+                        )
+                    self._seen_filter = filt
+                    self._filter_pending = []
+                    self._filter_rebuilds += 1
+                    if os.environ.get("SPARK_GRAFT_ROUND_PROFILE"):
+                        print(f"[round {rnd}] filter_rebuild "
+                              f"{_time.time() - _t_bf:.2f}s")
+                bloom = filt
             # lazy checkpoints truncate lineage without extra jobs: the
             # single frontier count below materializes unseen AND the
             # new frontier in one job; seen then reuses the stored
@@ -1155,6 +1183,14 @@ class CrawlEngine:
                     and n_seen <= self.seen_partitioned_min_rows
                 ),
             ).localCheckpoint(eager=False)
+            # NOTE for profile readers: under AQE this lazy checkpoint's
+            # toRdd finalizes the plan, which MATERIALIZES every
+            # intermediate query stage (children shuffle, first_seen
+            # window, anti-join broadcast builds) — the unseen_plan span
+            # is the round's distributed work, not driver overhead
+            # (measured: analyze+physical-plan alone is 0.03-0.06 s/round
+            # at sf0.1; the remaining ~1.2 s is stage jobs)
+            _t_u = _time.time()
 
             frontier = (
                 deferred.select(*FRONTIER_COLS, "h1", "h2")
@@ -1162,7 +1198,10 @@ class CrawlEngine:
                 .unionByName(unseen.select(*FRONTIER_COLS, "h1", "h2"))
                 .localCheckpoint(eager=False)
             )
+            _t_fr = _time.time()
             seen_parts.append(unseen.select("url", "h1", "h2"))
+            if self.use_bloom:
+                self._filter_pending.append(unseen.select("h1", "h2"))
             # promote the moment the estimate crosses the threshold —
             # waiting for the scheduled compaction round left 2-3
             # rounds anti-joining a plain (stats-less, unbroadcastable)
@@ -1200,7 +1239,9 @@ class CrawlEngine:
                 print(f"[round {rnd}] build_next {_t_c - _t_f2:.2f}s"
                       f" (log+conv_submit {_t_lc - _t_f2:.2f}s"
                       f" children_plan {_t_ch - _t_lc:.2f}s"
-                      f" unseen+compact {_t_c - _t_ch:.2f}s)"
+                      f" unseen_plan {_t_u - _t_ch:.2f}s"
+                      f" frontier_plan {_t_fr - _t_u:.2f}s"
+                      f" compact {_t_c - _t_fr:.2f}s)"
                       f" frontier_count {_time.time() - _t_c:.2f}s"
                       f" n={n_frontier}")
 
@@ -1249,9 +1290,14 @@ class CrawlEngine:
                         blobs["seen_shards"] = bloom.to_bytes()
                     else:
                         bloom = seen_ops.build_bloom_like(
-                            unseen.select("h1", "h2"), bloom
+                            unseen.select("h1", "h2"), bloom,
+                            max_partials=8,
                         )
                         blobs["seen_bloom"] = bloom.to_bytes()
+                    # the commit fold doubles as the round's incremental
+                    # maintenance — adopt it and drain the pending queue
+                    self._seen_filter = bloom
+                    self._filter_pending = []
                 if self.use_cuckoo:
                     blobs["seen_cuckoo"] = self.cuckoo.to_bytes()
                 self.store.commit(
@@ -1272,6 +1318,27 @@ class CrawlEngine:
                 counts["round"] = rnd
                 counts["frontier_next"] = n_frontier
                 round_counts.append(counts)
+            if self.use_bloom and bloom is not None and self._filter_pending:
+                # end-of-round O(delta) fold (non-commit rounds; commit
+                # rounds drained the queue above): MUST land before the
+                # hygiene releases below — a delta folded next round
+                # would read checkpoint blocks that compaction already
+                # unpersisted (localCheckpoint lineage is truncated, so
+                # that fails loud, not silent)
+                _t_fold = _time.time()
+                delta = self._filter_pending[0]
+                for p in self._filter_pending[1:]:
+                    delta = delta.unionByName(p)
+                if isinstance(bloom, seen_ops.SeenSet):
+                    bloom.fold_delta_df(delta)
+                else:
+                    self._seen_filter = seen_ops.build_bloom_like(
+                        delta, bloom, max_partials=8
+                    )
+                self._filter_pending = []
+                if os.environ.get("SPARK_GRAFT_ROUND_PROFILE"):
+                    print(f"[round {rnd}] filter_fold "
+                          f"{_time.time() - _t_fold:.2f}s")
             # cheap upper bound is enough for bloom sizing (deferred and
             # retry rows double-count; the bloom is just slightly larger)
             n_seen = n_seen + n_frontier
