@@ -1,0 +1,104 @@
+"""Property tests for the URL canonicalizer (hypothesis).
+
+The canonical form is the crawl's identity key: frontier rows, the
+seen set, the service-mode request anti-join, and resume checkpoints
+all hash it. Two properties are load-bearing:
+
+1. FIXED POINT — ``canonicalize_one(canonicalize_one(u)) ==
+   canonicalize_one(u)``. A stored canonical URL that re-canonicalizes
+   to a different string (e.g. a service batch re-submitting a URL the
+   store already extracted) would hash differently, slip past the seen
+   anti-join, and be crawled twice. Property fuzzing found three real
+   re-parse asymmetries, fixed in ``functions/urls.py`` and pinned as
+   golden cases below.
+2. SURT canonical-invariance — ``surt_one(u) ==
+   surt_one(canonicalize_one(u))``: the prefix-ordered storage key must
+   not depend on whether its input was already canonicalized.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from volltextextraktion_selenium_md_spark.functions.urls import (
+    canonicalize_one,
+    surt_one,
+)
+
+# url-ish soup: every RFC3986 delimiter plus whitespace and junk — the
+# frontier canonicalizes raw hrefs straight out of HTML, so arbitrary
+# garbage IS the input domain, not an adversarial corner
+_URL_CHARS = (
+    string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=%.~- _\"<>\\^`{|}\t"
+)
+
+_soup = st.text(alphabet=_URL_CHARS, min_size=1, max_size=60)
+_host_label = st.text(
+    alphabet=string.ascii_letters + string.digits + "-", min_size=1, max_size=8
+)
+_structured = st.builds(
+    lambda scheme, labels, port, segs, query, frag: (
+        scheme
+        + "://"
+        + ".".join(labels)
+        + (f":{port}" if port else "")
+        + "".join("/" + s for s in segs)
+        + (f"?{query}" if query else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    st.lists(_host_label, min_size=1, max_size=4),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=70000)),
+    st.lists(st.text(alphabet=_URL_CHARS.replace("#", "").replace("?", ""),
+                     max_size=10), max_size=4),
+    st.text(alphabet=_URL_CHARS.replace("#", ""), max_size=20),
+    st.text(alphabet=_URL_CHARS, max_size=12),
+)
+_urls = st.one_of(_soup, _structured, st.builds(lambda s: "http://" + s, _soup))
+
+
+@settings(max_examples=500, deadline=None)
+@given(_urls)
+def test_canonicalize_is_fixed_point(u):
+    c1 = canonicalize_one(u)
+    assert canonicalize_one(c1) == c1
+
+
+@settings(max_examples=500, deadline=None)
+@given(_urls)
+def test_surt_is_canonical_invariant(u):
+    assert surt_one(u) == surt_one(canonicalize_one(u))
+
+
+def test_fixed_point_golden_cases():
+    """The three re-parse asymmetries property fuzzing found (each was
+    a real seen-set-defeating non-fixed-point before the fix)."""
+    cases = [
+        # fragment strip exposing trailing whitespace to the NEXT parse
+        "http://host.example.com/p #frag",
+        # trailing '/'+whitespace mix in the path
+        "http://host.example.com/p/ #f",
+        "http://h/a/ / ",
+        # empty netloc with '//'-leading path: urlunsplit's re-prefix
+        # would make the next parse read the path head as a netloc
+        "http:////x.example.com/p",
+        "http://user@//x/p",
+    ]
+    for u in cases:
+        c1 = canonicalize_one(u)
+        assert canonicalize_one(c1) == c1, u
+        assert surt_one(u) == surt_one(c1), u
+
+
+def test_canonicalize_graph_noise_classes():
+    """The minted graph's three raw-href noise classes (graph.py
+    g_links) still canonicalize back to the page url — the behavior the
+    canonicalize_urls/crawl oracles depend on."""
+    page = "https://host3.example.com/page/42"
+    assert canonicalize_one(page + "#frag") == page
+    assert canonicalize_one(page + "/") == page
+    assert canonicalize_one("HTTPS://HOST3.EXAMPLE.COM/page/42") == page
+    assert canonicalize_one(page) == page

@@ -38,9 +38,29 @@ def canonicalize_one(url: str | None) -> str | None:
         netloc = host
         if port is not None and _DEFAULT_PORTS.get(scheme) != port:
             netloc = f"{host}:{port}"
-        path = parts.path.rstrip("/")
+        # the canonical form must be a FIXED POINT: a stored canonical
+        # URL that re-canonicalizes to a different string hashes
+        # differently and defeats the seen set on the service/resume
+        # path. Three re-parse asymmetries found by property fuzzing
+        # (pinned in tests/test_url_properties.py):
+        # 1. trailing '/'+whitespace mixes in the path — dropping the
+        #    fragment exposes them at end-of-string where the NEXT
+        #    parse's input strip would eat them ('http://h/p/ #f');
+        #    strip the mix here, not just trailing slashes
+        path = parts.path
+        while path and (path[-1] == "/" or path[-1].isspace()):
+            path = path[:-1]
+        # 2. empty netloc with a path starting '//' ('http:////x',
+        #    'http://user@//x'): urlunsplit's '//' re-prefix makes the
+        #    next parse read the path head as a netloc — collapse the
+        #    leading run to one '/'
+        if not netloc and path.startswith("//"):
+            path = "/" + path.lstrip("/")
         query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
-        return urlunsplit((scheme, netloc, path, query, ""))
+        # 3. dropping the fragment/query can expose whitespace at the
+        #    end of the reassembled string that the input-side strip
+        #    could not see — strip the OUTPUT too
+        return urlunsplit((scheme, netloc, path, query, "")).strip()
     except (ValueError, AttributeError):
         return url
 
