@@ -93,6 +93,79 @@ def test_fixed_point_golden_cases():
         assert surt_one(u) == surt_one(c1), u
 
 
+import re as _re
+from urllib.parse import urljoin as _urljoin
+
+from volltextextraktion_selenium_md_spark.functions.urls import extract_links_one
+
+_LEGACY_A = _re.compile(
+    r"""<a\b((?:[^>"']|"[^"]*"|'[^']*')*)>(.*?)</a\s*>""", _re.S | _re.I
+)
+_LEGACY_HREF = _re.compile(
+    r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", _re.I
+)
+_LEGACY_TAG = _re.compile(r"<[^>]+>")
+_LEGACY_DEAD = _re.compile(
+    r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->", _re.S | _re.I
+)
+
+
+def _legacy_extract(html, base_url):
+    """The pre-round-6 one-regex implementation (O(n^2) on close-less
+    anchors) — kept here as the equivalence oracle for the linear
+    rewrite."""
+    html = _LEGACY_DEAD.sub(" ", html)
+    out, pos = [], 0
+    for m in _LEGACY_A.finditer(html):
+        hm = _LEGACY_HREF.search(m.group(1))
+        if hm is None:
+            continue
+        href = (hm.group(1) or hm.group(2) or hm.group(3) or "").strip()
+        if not href:
+            continue
+        pos += 1
+        text = " ".join(_LEGACY_TAG.sub(" ", m.group(2)).split()) or None
+        out.append((pos, _urljoin(base_url, href) if base_url else href, text))
+    return out
+
+
+_html_atoms = st.one_of(
+    st.sampled_from(
+        [
+            "<a href=", '"u1"', "'u2'", "u3", ">", "</a>", "</a >", "<a ",
+            "<a>", "text", " ", '"', "'", "<script>x</script>", "<b>t</b>",
+            "<!--c-->", "<style>s</style>", "href=q", "<a href=7>t</a>",
+            "#f", "/p", "http://h/x", "<", ">", "</", "a",
+        ]
+    ),
+    st.text(alphabet=string.printable, max_size=8),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_html_atoms, max_size=40).map("".join))
+def test_extract_links_matches_legacy_regex(html):
+    """The linear link scanner must emit exactly what the old
+    one-regex form did (doc_pos, url, text), on HTML soup biased
+    toward anchor-tag fragments and pathological quote/close shapes."""
+    assert extract_links_one(html, "http://base/d/") == _legacy_extract(
+        html, "http://base/d/"
+    )
+
+
+def test_extract_links_linear_on_closeless_anchors():
+    """O(n^2) regression pin: a close-less-anchor page (broken HTML the
+    live path really sees) must parse in linear time — the old form
+    took 5.1 s at 96 KB and would stall an executor for minutes at
+    1 MB."""
+    import time
+
+    html = '<a href="x">' * 8000  # 96 KB, no closing </a>
+    t0 = time.time()
+    assert extract_links_one(html, "http://h/") == []
+    assert time.time() - t0 < 0.5
+
+
 def test_canonicalize_graph_noise_classes():
     """The minted graph's three raw-href noise classes (graph.py
     g_links) still canonicalize back to the page url — the behavior the

@@ -123,25 +123,46 @@ def extract_links_one(html: str, base_url: str) -> list[tuple[int, str, str | No
     real HTML tokenizer only ends the tag on an unquoted ``>``."""
     global _A_TAG_RE
     import re
+    from bisect import bisect_left
 
     if _A_TAG_RE is None:
         _A_TAG_RE = (
-            re.compile(
-                r"""<a\b((?:[^>"']|"[^"]*"|'[^']*')*)>(.*?)</a\s*>""",
-                re.S | re.I,
-            ),
+            # open tag only — a single anchor's body is NOT spanned by
+            # the regex. The old one-regex form
+            # (<a ...>(.*?)</a\s*>) re-scanned from every unclosed
+            # anchor to end-of-string: O(n^2) on broken HTML (measured
+            # 1.2 s at 48 KB, 5.1 s at 96 KB of close-less <a> tags —
+            # a multi-minute executor stall per ~1 MB page on the live
+            # path). Open tags + one linear close-tag sweep + bisect
+            # keeps identical matches in linear time.
+            re.compile(r"""<a\b((?:[^>"']|"[^"]*"|'[^']*')*)>""", re.S | re.I),
             re.compile(r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I),
             re.compile(r"<[^>]+>"),
             re.compile(
                 r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->",
                 re.S | re.I,
             ),
+            re.compile(r"</a\s*>", re.I),
         )
-    a_re, href_re, tag_re, dead_re = _A_TAG_RE
+    a_open_re, href_re, tag_re, dead_re, a_close_re = _A_TAG_RE
     html = dead_re.sub(" ", html)
+    # all close-tag positions up front (linear), consumed in order via
+    # bisect — mirrors the old lazy match exactly: an anchor's body
+    # runs to the FIRST close tag at/after its open tag's '>', the
+    # matched span is consumed (opens inside a matched body do not
+    # start a new match), and an open with no remaining close emits
+    # nothing
+    closes = [(m.start(), m.end()) for m in a_close_re.finditer(html)]
     out = []
     pos = 0
-    for m in a_re.finditer(html):
+    cursor = 0
+    for m in a_open_re.finditer(html):
+        if m.start() < cursor:
+            continue  # inside a previously matched anchor span
+        i = bisect_left(closes, (m.end(), -1))
+        if i == len(closes):
+            break  # no close tag left: nothing further can match
+        body_end, cursor = closes[i]
         hm = href_re.search(m.group(1))
         if hm is None:
             continue
@@ -149,7 +170,7 @@ def extract_links_one(html: str, base_url: str) -> list[tuple[int, str, str | No
         if not href:
             continue
         pos += 1
-        text = " ".join(tag_re.sub(" ", m.group(2)).split()) or None
+        text = " ".join(tag_re.sub(" ", html[m.end():body_end]).split()) or None
         out.append((pos, urljoin(base_url, href) if base_url else href, text))
     return out
 
