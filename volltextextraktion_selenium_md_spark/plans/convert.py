@@ -226,26 +226,94 @@ class _TextExtract(HTMLParser):
             self.chunks.append(txt)
 
 
-_NOSCRIPT_RE = re.compile(r"<noscript\b.*?</noscript>", re.S | re.I)
+_NOSCRIPT_OPEN_RE = re.compile(r"<noscript\b", re.I)
+_NOSCRIPT_CLOSE_RE = re.compile(r"</noscript>", re.I)
+# _JS_HINT_RE's lazy body is BOUNDED (.{0,200}?), so it cannot go
+# quadratic the way the unbounded tag-span regexes below could
 _JS_HINT_RE = re.compile(
     r"<[^>]+(?:id|class)=['\"]?[^'\">]*(?:no-?js|js-disabled|enable-js|javascript)[^'\">]*['\"]?[^>]*>.{0,200}?</[^>]+>",
     re.S | re.I,
 )
-_KMAP_RE = re.compile(
-    r"<script[^>]*id=['\"]embedded-topic['\"][^>]*>(.*?)</script>", re.S | re.I
+_KMAP_OPEN_RE = re.compile(
+    r"<script[^>]*id=['\"]embedded-topic['\"][^>]*>", re.I
 )
-_SCRIPT_RE = re.compile(r"<script([^>]*)>(.*?)</script>", re.S | re.I)
+_SCRIPT_OPEN_RE = re.compile(r"<script([^>]*)>", re.I)
+_SCRIPT_CLOSE_RE = re.compile(r"</script>", re.I)
 _SCRIPT_TYPE_RE = re.compile(r"type=['\"]([^'\"]*)['\"]", re.I)
 _BASE_HREF_RE = re.compile(r"<base\b[^>]*href=['\"]([^'\"]*)['\"]", re.I)
-_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
+_TITLE_OPEN_RE = re.compile(r"<title[^>]*>", re.I)
+_TITLE_CLOSE_RE = re.compile(r"</title>", re.I)
 _INLINE_ATTR_RE = re.compile(r"(src|href)=[\"']inline:([^\"']+)[\"']")
 _INLINE_BARE_RE = re.compile(r"inline:([^\s\"'>)]+)")
+
+
+def _tag_spans(html: str, open_re, close_re):
+    """Lazy-matched ``<open ...> body </close>`` spans in LINEAR time.
+
+    Exactly the matches ``open(.*?)close`` produces — an open's body
+    runs to the first close at/after the open tag's end, the whole
+    span is consumed (opens inside a matched body don't re-match), and
+    an open past the last close matches nothing — but without the
+    O(n^2) rescan the lazy regex pays on broken HTML (every close-less
+    open re-scans to end-of-string: measured ~4x wall per 2x input at
+    tens of KB of unclosed <script>/<noscript>/<title> tags; the
+    convert kernel runs these over every html payload, so a ~1 MB
+    malformed page would stall an executor task for minutes).
+
+    Yields ``(open_match, body_start, body_end, span_end)``."""
+    closes = [(m.start(), m.end()) for m in close_re.finditer(html)]
+    if not closes:
+        return
+    from bisect import bisect_left
+
+    cursor = 0
+    for m in open_re.finditer(html):
+        if m.start() < cursor:
+            continue
+        i = bisect_left(closes, (m.end(), -1))
+        if i == len(closes):
+            break
+        body_end, cursor = closes[i]
+        yield m, m.end(), body_end, cursor
+
+
+def _strip_tag_spans(html: str, open_re, close_re) -> str:
+    """``re.sub('', ...)`` of the lazy tag-span pattern, linear-time."""
+    out = []
+    prev = 0
+    for m, _bs, _be, span_end in _tag_spans(html, open_re, close_re):
+        out.append(html[prev:m.start()])
+        prev = span_end
+    if prev == 0:
+        return html
+    out.append(html[prev:])
+    return "".join(out)
+
+
+def _rss_titles(text: str) -> list[str]:
+    """Linear twin of ``re.findall(r"<title>(.*?)</title>", text)``
+    (no DOTALL, so a match never crosses a newline — per-line str.find
+    preserves the exact match set and order without the lazy regex's
+    quadratic rescan on a one-line close-less feed)."""
+    titles = []
+    for line in text.split("\n"):
+        start = 0
+        while True:
+            o = line.find("<title>", start)
+            if o == -1:
+                break
+            c = line.find("</title>", o + 7)
+            if c == -1:
+                break
+            titles.append(line[o + 7:c])
+            start = c + 8
+    return titles
 
 
 def _preclean(html: str) -> str:
     """C2: drop <noscript> and short enable-javascript containers
     (converter.py:163-206)."""
-    html = _NOSCRIPT_RE.sub("", html)
+    html = _strip_tag_spans(html, _NOSCRIPT_OPEN_RE, _NOSCRIPT_CLOSE_RE)
     return _JS_HINT_RE.sub("", html)
 
 
@@ -276,12 +344,15 @@ def _kmap_payload(html: str) -> dict | None:
     else a universal scan of json/ld+json scripts for a dict carrying
     description/articleBody — directly or under mainEntity/article/
     item (direct parse only, as the reference does there)."""
-    m = _KMAP_RE.search(html)
-    if m:
-        obj = _json_salvage(m.group(1))
+    for _m, bs, be, _e in _tag_spans(html, _KMAP_OPEN_RE, _SCRIPT_CLOSE_RE):
+        obj = _json_salvage(html[bs:be])
         if obj is not None:
             return obj
-    for attrs, body in _SCRIPT_RE.findall(html):
+        break  # first embedded-topic script only (regex search parity)
+    for attrs, body in (
+        (m.group(1), html[bs:be])
+        for m, bs, be, _e in _tag_spans(html, _SCRIPT_OPEN_RE, _SCRIPT_CLOSE_RE)
+    ):
         tm = _SCRIPT_TYPE_RE.search(attrs)
         t = (tm.group(1).strip().lower() if tm else "")
         if t not in ("", "json", "application/json", "application/ld+json"):
@@ -336,8 +407,10 @@ def _kmap_markdown(html: str) -> str | None:
 
     title = first_str(payload, ["title", "headline", "name", "topic"])
     if title is None:
-        tm = _TITLE_RE.search(html)
-        title = tm.group(1).strip() if tm and tm.group(1).strip() else None
+        for _m, bs, be, _e in _tag_spans(html, _TITLE_OPEN_RE, _TITLE_CLOSE_RE):
+            if html[bs:be].strip():
+                title = html[bs:be].strip()
+            break  # first <title> only (regex search parity)
     chapter = payload.get("chapter")
     chapter = chapter if isinstance(chapter, str) else None
     subject = payload.get("subject")
@@ -536,8 +609,13 @@ def convert_bytes(
             text = payload[9:].decode("utf-8", "replace")
             return _polish("# PDF Document\n\n" + text), "pdf", truncated
         if base_ctype.startswith("application/rss"):
-            titles = re.findall(r"<title>(.*?)</title>", payload.decode("utf-8", "replace"))
-            return "\n".join(f"- {t}" for t in titles), "rss", truncated
+            return (
+                "\n".join(
+                    f"- {t}" for t in _rss_titles(payload.decode("utf-8", "replace"))
+                ),
+                "rss",
+                truncated,
+            )
 
         html = _preclean(payload.decode("utf-8", "replace"))
         kmap = _kmap_markdown(html)
