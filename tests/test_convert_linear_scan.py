@@ -92,6 +92,102 @@ def test_rss_titles_match_legacy_findall(html):
     assert C._rss_titles(html) == _LEGACY_RSS.findall(html)
 
 
+from volltextextraktion_selenium_md_spark.functions import features as FF
+from volltextextraktion_selenium_md_spark.functions.text import strip_spans, strip_tags
+
+_LEGACY_TAG = re.compile(r"<[^>]+>")
+_LEGACY_SKIP = re.compile(r"<(script|style|noscript)\b.*?</\1\s*>", re.S | re.I)
+_LEGACY_DEAD = re.compile(
+    r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->", re.S | re.I
+)
+_LEGACY_JS_HINT = re.compile(
+    r"<[^>]+(?:id|class)=['\"]?[^'\">]*(?:no-?js|js-disabled|enable-js|javascript)[^'\">]*['\"]?[^>]*>.{0,200}?</[^>]+>",
+    re.S | re.I,
+)
+
+_tag_atoms = st.one_of(
+    st.sampled_from(
+        [
+            "<", ">", "<>", "<a>", "<a", "a>", "</div>", "text", " ", "\n",
+            "<style>", "</style>", "<STYLE >", "<!--", "-->", "<!-- c -->",
+            "<script>", "</script >", "<noscript>", "</noscript>",
+            '<div id="no-js">', "<p class='enable-js x'>", "<i id=javascript>",
+            '<q class="js-disabled">', "</p>", "</i>", "</q>", "</>",
+        ]
+    ),
+    st.text(alphabet=string.printable, max_size=6),
+)
+_tag_soup = st.lists(_tag_atoms, max_size=50).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_tag_soup)
+def test_strip_tags_matches_legacy(s):
+    assert strip_tags(s) == _LEGACY_TAG.sub(" ", s)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_tag_soup)
+def test_skip_block_strip_matches_legacy_backref(s):
+    got = strip_spans(
+        s, FF._SKIP_OPEN_RE, FF._SKIP_CLOSE_RES, lambda m: m.group(1).lower()
+    )
+    assert got == _LEGACY_SKIP.sub(" ", s)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_tag_soup)
+def test_dead_region_strip_matches_legacy_alternation(s):
+    import volltextextraktion_selenium_md_spark.functions.urls as U
+
+    U.extract_links_one("", "")  # force _A_TAG_RE init
+    _, _, dead_open_re, dead_close_res, _ = U._A_TAG_RE
+
+    def kind(m):
+        t = m.group(0).lower()
+        return "script" if t == "<script" else (
+            "style" if t == "<style" else "comment"
+        )
+
+    got = strip_spans(s, dead_open_re, dead_close_res, kind)
+    assert got == _LEGACY_DEAD.sub(" ", s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_tag_soup)
+def test_js_hint_strip_matches_legacy(s):
+    assert C._strip_js_hints(s) == _LEGACY_JS_HINT.sub("", s)
+
+
+def test_math_bound_golden():
+    """The {0,300} argument bound changes nothing for real formulas and
+    keeps adversarial 'a(a(a(' markdown linear; the oracle imports this
+    exact pattern so the two engines stay aligned by construction."""
+    assert C._MATH_EXPR_RE.sub(r"`\1`", "E = mc2 and f(x) applies") == (
+        "`E = mc2` and `f(x)` applies"
+    )
+    big = "a(" * 30_000
+    t0 = time.time()
+    C._MATH_EXPR_RE.sub(r"`\1`", big)
+    assert time.time() - t0 < 1.0
+
+
+def test_js_hint_linear_on_gtless_html():
+    """The old _JS_HINT_RE took 21 s on 60 KB of '<a ' repeats (no '>'
+    anywhere: every '<' re-scanned to end-of-string)."""
+    html = "<a " * 20_000  # 60 KB
+    t0 = time.time()
+    assert C._strip_js_hints(html) == html
+    assert time.time() - t0 < 0.5
+
+
+def test_visible_text_linear_on_closeless_scripts():
+    html = "<script>" * 12_000  # 96 KB
+    t0 = time.time()
+    assert FF.visible_text(html) == ""
+    assert time.time() - t0 < 0.5
+
+
 def test_linear_on_closeless_tags():
     """O(n^2) regression pin: 96 KB of close-less opens must scan fast
     (the lazy regexes took 2.8-5.1 s on these exact inputs)."""

@@ -136,6 +136,8 @@ _html_atoms = st.one_of(
             "<a>", "text", " ", '"', "'", "<script>x</script>", "<b>t</b>",
             "<!--c-->", "<style>s</style>", "href=q", "<a href=7>t</a>",
             "#f", "/p", "http://h/x", "<", ">", "</", "a",
+            '<a title="a>b" href=u>', "<a href='x'", 'href="q>r"', '">',
+            "'>", '<a "', "<a '", "ab", "<ahref=x>",
         ]
     ),
     st.text(alphabet=string.printable, max_size=8),
@@ -161,6 +163,11 @@ def test_extract_links_linear_on_closeless_anchors():
     import time
 
     html = '<a href="x">' * 8000  # 96 KB, no closing </a>
+    t0 = time.time()
+    assert extract_links_one(html, "http://h/") == []
+    assert time.time() - t0 < 0.5
+    # '>'-less soup: the old attr-group regex alone took 34 s at 60 KB
+    html = "<a " * 20_000
     t0 = time.time()
     assert extract_links_one(html, "http://h/") == []
     assert time.time() - t0 < 0.5

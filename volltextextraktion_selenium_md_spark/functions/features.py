@@ -39,10 +39,20 @@ import pandas as pd
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
-_SKIP_BLOCK_RE = re.compile(
-    r"<(script|style|noscript)\b.*?</\1\s*>", re.S | re.I
+from volltextextraktion_selenium_md_spark.functions.text import (
+    strip_spans,
+    strip_tags,
 )
-_TAG_RE = re.compile(r"<[^>]+>")
+
+# skip-block strip, linear form: the one-regex version
+# (<(script|style|noscript)\b.*?</\1\s*>) re-scans from every
+# close-less open to end-of-string — O(n^2) on broken HTML, inside the
+# preflight feature probe that runs on every payload. strip_spans
+# reproduces the lazy/backreference match set exactly (per-name closes)
+_SKIP_OPEN_RE = re.compile(r"<(script|style|noscript)\b", re.I)
+_SKIP_CLOSE_RES = {
+    n: re.compile(rf"</{n}\s*>", re.I) for n in ("script", "style", "noscript")
+}
 _WS_RE = re.compile(r"\s+")
 
 # content-root selector list (preflight.py:101) as a structural probe:
@@ -82,8 +92,10 @@ FEATURES_FIELDS = [
 
 def visible_text(html: str) -> str:
     """Tag-stripped, whitespace-collapsed visible text."""
-    stripped = _SKIP_BLOCK_RE.sub(" ", html)
-    stripped = _TAG_RE.sub(" ", stripped)
+    stripped = strip_spans(
+        html, _SKIP_OPEN_RE, _SKIP_CLOSE_RES, lambda m: m.group(1).lower()
+    )
+    stripped = strip_tags(stripped)
     # ' '.join(split()) == regex \s+ collapse + strip, at C speed
     return " ".join(stripped.split())
 

@@ -17,8 +17,82 @@ from pyspark.sql import functions as F
 
 # --- reference conversion polish -------------------------------------------
 
-_MATH_EXPR_RE = r"\b([a-zA-Z]\([^)]*\)|[a-zA-Z][₀-₉⁰-⁹]*\s*[=+\-*/]\s*[^\s]+)"
+# the call-argument charset is BOUNDED ({0,300}, was *): an unclosed
+# '(' made every candidate scan to end-of-text — O(n^2) on adversarial
+# markdown (measured 1.3 s at 60 KB of 'a(' repeats; minutes at ~1 MB
+# inside the convert kernel). No real formula carries a 300+-char
+# argument; the Python twin in plans/convert.py (which the DuckDB
+# oracle imports) carries the identical bound so the three engines
+# cannot drift.
+_MATH_EXPR_RE = r"\b([a-zA-Z]\([^)]{0,300}\)|[a-zA-Z][₀-₉⁰-⁹]*\s*[=+\-*/]\s*[^\s]+)"
 _FORMULA_RE = r"([a-zA-Z][₀-₉⁰-⁹]*\s*=\s*[^\n]+)"
+
+
+def strip_spans(s: str, opens_re, close_res: dict, kind_fn, repl: str = " ") -> str:
+    """Linear twin of ``re.sub`` over a lazy span ALTERNATION
+    (``open_a.*?close_a|open_b.*?close_b|...``): leftmost-first across
+    kinds, each open's span runs to the first close OF ITS KIND at/after
+    the open's end, matched spans are consumed, an open with no
+    remaining same-kind close matches nothing (but other kinds still
+    can). ``opens_re`` matches any kind's open; ``kind_fn(match)``
+    returns the key into ``close_res`` (pre-compiled close patterns).
+    The lazy-regex form re-scans from every close-less open to
+    end-of-string — O(n^2) on broken HTML."""
+    from bisect import bisect_left
+
+    closes = {
+        k: [(m.start(), m.end()) for m in rx.finditer(s)]
+        for k, rx in close_res.items()
+    }
+    if not any(closes.values()):
+        return s
+    out = []
+    prev = 0
+    cursor = 0
+    changed = False
+    for m in opens_re.finditer(s):
+        if m.start() < cursor:
+            continue
+        cl = closes[kind_fn(m)]
+        i = bisect_left(cl, (m.end(), -1))
+        if i == len(cl):
+            continue
+        out.append(s[prev:m.start()])
+        out.append(repl)
+        prev = cursor = cl[i][1]
+        changed = True
+    if not changed:
+        return s
+    out.append(s[prev:])
+    return "".join(out)
+
+
+def strip_tags(s: str, repl: str = " ") -> str:
+    """Linear twin of ``re.sub(r"<[^>]+>", repl, s)``.
+
+    The regex form re-scans ``[^>]+`` from every '<' to end-of-string
+    when no '>' follows — O(n^2) on broken HTML (measured 0.85 s at
+    60 KB of '<a ' repeats; minutes at ~1 MB). This scan reproduces the
+    exact match set: '<' + at least one non-'>' char + the first '>'
+    (so '<>' never matches), consumed left to right."""
+    out = []
+    prev = 0
+    i = s.find("<")
+    while i != -1:
+        g = s.find(">", i + 1)
+        if g == -1:
+            break
+        if g == i + 1:
+            i = s.find("<", i + 1)
+            continue
+        out.append(s[prev:i])
+        out.append(repl)
+        prev = g + 1
+        i = s.find("<", g + 1)
+    if prev == 0:
+        return s
+    out.append(s[prev:])
+    return "".join(out)
 
 
 def preserve_math(text: Column) -> Column:

@@ -103,6 +103,49 @@ def url_join(base: pd.Series, href: pd.Series) -> pd.Series:
 
 
 _A_TAG_RE = None  # compiled lazily (module import stays regex-free)
+_OPEN_INTEREST_RE = None
+
+
+# attr-region length cap: per-candidate scan work must be CONSTANT or
+# a '>'-less page is O(starts x scan) no matter how the scan is coded
+# (the old regex: 34 s / 60 KB; an uncapped find-jump scan: still ~3 s).
+# No real anchor carries 4 KB of attributes; one that does is dropped.
+_OPEN_ATTRS_CAP = 4096
+
+
+def _open_end(html: str, j: int) -> int:
+    """Index of the '>' ending an anchor open tag whose attr region
+    starts at ``j``, honoring quoted strings (a '>' inside "..." or
+    '...' does not end the tag) — the match set of the old
+    ``((?:[^>"']|"[^"]*"|'[^']*')*)>`` group for attr regions up to
+    ``_OPEN_ATTRS_CAP`` chars, via C-speed jumps to the next
+    interesting char inside that bounded window. Returns -1 when the
+    tag never closes in-window (ending the match attempt, as the
+    legacy regex's failure did)."""
+    global _OPEN_INTEREST_RE
+    import re
+
+    if _OPEN_INTEREST_RE is None:
+        _OPEN_INTEREST_RE = re.compile(r"[>\"']")
+    j0 = j
+    limit = j + _OPEN_ATTRS_CAP
+    ops = 0
+    # failures scanned the whole remaining window — charge by distance
+    # (in 64-char units) so '>'-less soup drains the caller's budget at
+    # the rate it actually costs; successes charge their jump count
+    fail_cost = max(1, (min(limit, len(html)) - j0) // 64)
+    while True:
+        ops += 1
+        m = _OPEN_INTEREST_RE.search(html, j, limit)
+        if m is None:
+            return -1, max(ops, fail_cost)
+        c = m.group(0)
+        if c == ">":
+            return m.start(), ops
+        k = html.find(c, m.end(), limit)
+        if k == -1:
+            return -1, max(ops, fail_cost)
+        j = k + 1
 
 
 def extract_links_one(html: str, base_url: str) -> list[tuple[int, str, str | None]]:
@@ -127,25 +170,42 @@ def extract_links_one(html: str, base_url: str) -> list[tuple[int, str, str | No
 
     if _A_TAG_RE is None:
         _A_TAG_RE = (
-            # open tag only — a single anchor's body is NOT spanned by
-            # the regex. The old one-regex form
-            # (<a ...>(.*?)</a\s*>) re-scanned from every unclosed
-            # anchor to end-of-string: O(n^2) on broken HTML (measured
-            # 1.2 s at 48 KB, 5.1 s at 96 KB of close-less <a> tags —
-            # a multi-minute executor stall per ~1 MB page on the live
-            # path). Open tags + one linear close-tag sweep + bisect
-            # keeps identical matches in linear time.
-            re.compile(r"""<a\b((?:[^>"']|"[^"]*"|'[^']*')*)>""", re.S | re.I),
+            # anchor-open START only; the attr region and the body are
+            # NOT spanned by regexes. The old one-regex form
+            # (<a attrs>(.*?)</a\s*>) re-scanned from every unclosed
+            # anchor to end-of-string — O(n^2) on broken HTML (measured
+            # 1.2 s at 48 KB / 5.1 s at 96 KB of close-less <a> tags,
+            # and 34 s at 60 KB of '>'-less '<a ' soup from the attr
+            # group's own rescan: a multi-minute executor stall per
+            # ~1 MB page on the live path). Start matches + the
+            # quote-honoring _open_end jump scan + one linear close-tag
+            # sweep + bisect keep identical matches in linear time.
+            re.compile(r"<a\b", re.I),
             re.compile(r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I),
-            re.compile(r"<[^>]+>"),
-            re.compile(
-                r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->",
-                re.S | re.I,
-            ),
+            # dead-region opens (script/style/comment) + per-kind closes
+            # via the linear strip_spans scanner — the old lazy
+            # alternation re-scanned from every close-less open (same
+            # O(n^2) class as the anchor regex this replaced)
+            re.compile(r"<script\b|<style\b|<!--", re.I),
+            {
+                "script": re.compile(r"</script\s*>", re.I),
+                "style": re.compile(r"</style\s*>", re.I),
+                "comment": re.compile(r"-->"),
+            },
             re.compile(r"</a\s*>", re.I),
         )
-    a_open_re, href_re, tag_re, dead_re, a_close_re = _A_TAG_RE
-    html = dead_re.sub(" ", html)
+    a_open_re, href_re, dead_open_re, dead_close_res, a_close_re = _A_TAG_RE
+
+    from volltextextraktion_selenium_md_spark.functions.text import (
+        strip_spans,
+        strip_tags,
+    )
+
+    def _dead_kind(m):
+        t = m.group(0).lower()
+        return "script" if t == "<script" else ("style" if t == "<style" else "comment")
+
+    html = strip_spans(html, dead_open_re, dead_close_res, _dead_kind)
     # all close-tag positions up front (linear), consumed in order via
     # bisect — mirrors the old lazy match exactly: an anchor's body
     # runs to the FIRST close tag at/after its open tag's '>', the
@@ -156,21 +216,36 @@ def extract_links_one(html: str, base_url: str) -> list[tuple[int, str, str | No
     out = []
     pos = 0
     cursor = 0
+    # global scan budget: a normal page spends a handful of _open_end
+    # jumps per anchor; only adversarial quote soup ('<a "' repeated)
+    # can approach O(starts x cap/4) jumps. Past the budget, extraction
+    # stops with what it has — a bounded-runtime divergence reachable
+    # only on pages crafted to stall the parser
+    scan_budget = max(100_000, 4 * len(html))
     for m in a_open_re.finditer(html):
         if m.start() < cursor:
             continue  # inside a previously matched anchor span
-        i = bisect_left(closes, (m.end(), -1))
+        if scan_budget <= 0:
+            break
+        g, ops = _open_end(html, m.end())
+        scan_budget -= ops
+        if g == -1:
+            continue  # the open tag never closes: no match at this start
+        i = bisect_left(closes, (g + 1, -1))
         if i == len(closes):
-            break  # no close tag left: nothing further can match
+            # no close at/after THIS open's end — but not terminal: a
+            # later start can parse a SHORTER open tag (quote parity
+            # differs per start) whose end precedes a remaining close
+            continue
         body_end, cursor = closes[i]
-        hm = href_re.search(m.group(1))
+        hm = href_re.search(html, m.end(), g)
         if hm is None:
             continue
         href = (hm.group(1) or hm.group(2) or hm.group(3) or "").strip()
         if not href:
             continue
         pos += 1
-        text = " ".join(tag_re.sub(" ", html[m.end():body_end]).split()) or None
+        text = " ".join(strip_tags(html[g + 1:body_end]).split()) or None
         out.append((pos, urljoin(base_url, href) if base_url else href, text))
     return out
 

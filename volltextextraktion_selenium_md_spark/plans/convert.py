@@ -41,7 +41,10 @@ import pyspark.sql.types as T
 
 from volltextextraktion_selenium_md_spark import codec
 from volltextextraktion_selenium_md_spark.config import CrawlConfig
-from volltextextraktion_selenium_md_spark.functions.text import enhance_table_structure_py
+from volltextextraktion_selenium_md_spark.functions.text import (
+    enhance_table_structure_py,
+    strip_tags,
+)
 
 # ---------------------------------------------------------------------------
 # deterministic payload minting (replaces the network body)
@@ -228,11 +231,18 @@ class _TextExtract(HTMLParser):
 
 _NOSCRIPT_OPEN_RE = re.compile(r"<noscript\b", re.I)
 _NOSCRIPT_CLOSE_RE = re.compile(r"</noscript>", re.I)
-# _JS_HINT_RE's lazy body is BOUNDED (.{0,200}?), so it cannot go
-# quadratic the way the unbounded tag-span regexes below could
-_JS_HINT_RE = re.compile(
-    r"<[^>]+(?:id|class)=['\"]?[^'\">]*(?:no-?js|js-disabled|enable-js|javascript)[^'\">]*['\"]?[^>]*>.{0,200}?</[^>]+>",
-    re.S | re.I,
+# js-hint container strip, linear form. The old one-regex version
+# (<[^>]+(?:id|class)=...hint...>.{0,200}?</[^>]+>) was O(n^2) twice
+# over: the unbounded leading <[^>]+ re-scanned to end-of-string from
+# every '<' on '>'-less HTML (measured 21 s on 60 KB of '<a ' repeats —
+# hours at ~1 MB, inside _preclean which runs on EVERY html payload).
+# The scan below visits each '<'..'>' tag once, runs the hint regex on
+# the TAG TEXT only, and probes a bounded window for the closing tag;
+# a hint-free tag span is skipped wholesale (a later '<' inside it
+# searches a subrange of the failed search, so it cannot match either).
+_HINT_ATTR_RE = re.compile(
+    r"(?:id|class)=['\"]?[^'\">]*(?:no-?js|js-disabled|enable-js|javascript)",
+    re.I,
 )
 _KMAP_OPEN_RE = re.compile(
     r"<script[^>]*id=['\"]embedded-topic['\"][^>]*>", re.I
@@ -310,11 +320,50 @@ def _rss_titles(text: str) -> list[str]:
     return titles
 
 
+def _strip_js_hints(html: str) -> str:
+    """Drop short enable-javascript containers: a tag whose id/class
+    carries a js hint, at most 200 body chars, then any closing tag —
+    the old ``_JS_HINT_RE.sub("")`` semantics, linear-time (see the
+    _HINT_ATTR_RE comment)."""
+    out = []
+    prev = 0
+    i = html.find("<")
+    while i != -1:
+        g = html.find(">", i + 1)
+        if g == -1:
+            break
+        if g > i + 1 and _HINT_ATTR_RE.search(html, i + 1, g):
+            # bounded close-tag probe: '</' must START within 200 chars
+            # of the body; its name and '>' may extend past the window
+            j = html.find("</", g + 1)
+            end = None
+            while j != -1 and j <= g + 201:
+                k = html.find(">", j + 2)
+                if k == -1:
+                    break  # no '>' left anywhere: nothing can close
+                if k > j + 2:  # close tag needs >=1 name char
+                    end = k + 1
+                    break
+                j = html.find("</", j + 1)
+            if end is not None:
+                out.append(html[prev:i])
+                prev = end
+                i = html.find("<", end)
+                continue
+        # miss: every '<' before this tag's '>' sees a subrange of the
+        # failed search, so jump straight past the '>'
+        i = html.find("<", (g + 1) if g > i + 1 else (i + 1))
+    if prev == 0:
+        return html
+    out.append(html[prev:])
+    return "".join(out)
+
+
 def _preclean(html: str) -> str:
     """C2: drop <noscript> and short enable-javascript containers
     (converter.py:163-206)."""
     html = _strip_tag_spans(html, _NOSCRIPT_OPEN_RE, _NOSCRIPT_CLOSE_RE)
-    return _JS_HINT_RE.sub("", html)
+    return _strip_js_hints(html)
 
 
 def _json_salvage(txt: str) -> dict | None:
@@ -516,7 +565,11 @@ def _extract(html: str, main_only: bool) -> str:
     return "\n\n".join(p.chunks)
 
 
-_MATH_EXPR_RE = re.compile(r"\b([a-zA-Z]\([^)]*\)|[a-zA-Z][₀-₉⁰-⁹]*\s*[=+\-*/]\s*[^\s]+)")
+# bounded call-argument charset ({0,300}, was *): an unclosed '(' made
+# every candidate scan to end-of-text — O(n^2) on adversarial markdown.
+# functions/text.py's Spark-side regexp_replace carries the identical
+# bound, and oracles.py imports THIS pattern, so all three engines agree
+_MATH_EXPR_RE = re.compile(r"\b([a-zA-Z]\([^)]{0,300}\)|[a-zA-Z][₀-₉⁰-⁹]*\s*[=+\-*/]\s*[^\s]+)")
 _FORMULA_RE = re.compile(r"([a-zA-Z][₀-₉⁰-⁹]*\s*=\s*[^\n]+)")
 # every _MATH_EXPR_RE alternative needs '(' or an operator, _FORMULA_RE
 # needs '=' — one cheap scan gates BOTH subs (they were two full
@@ -633,8 +686,8 @@ def convert_bytes(
             # NO fallback — a failure is a conversion failure (C9 outer
             # containment), exactly the reference's forced dispatch
             if forced_converter == "strip":
-                stripped = re.sub(r"<[^>]+>", " ", html)
-                return _polish(re.sub(r"\s+", " ", stripped).strip()), "strip", truncated
+                stripped = strip_tags(html)
+                return _polish(" ".join(stripped.split())), "strip", truncated
             return (
                 _polish(extract(
                     html,
@@ -662,8 +715,8 @@ def convert_bytes(
                 return _polish(full), "full", truncated
         except Exception:
             breaker.record()
-        stripped = re.sub(r"<[^>]+>", " ", html)
-        return _polish(re.sub(r"\s+", " ", stripped).strip()), "strip", truncated
+        stripped = strip_tags(html)
+        return _polish(" ".join(stripped.split())), "strip", truncated
     except Exception as exc:  # C9: containment — never fail the row
         return _ERROR_TEMPLATE.format(err=type(exc).__name__), "error", truncated
 
