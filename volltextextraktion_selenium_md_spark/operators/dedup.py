@@ -226,22 +226,19 @@ def minhash_lsh_pairs(
 
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc_id, band, bucket) rows: signature split into `bands` bands
-    of r components each, bucket = md5 of the band slice."""
+    of r components each, bucket = md5 of the band slice. All bands
+    come out of ONE projection via posexplode (pos == band) instead of
+    a bands-way union that re-scanned the signature relation once per
+    band (guide §2.4: identical output rows, one pass, one codegen
+    stage instead of `bands`)."""
     r = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
-            )
-        )
-    banded = band_rows[0]
-    for df in band_rows[1:]:
-        banded = banded.unionByName(df)
-    return banded
+    buckets = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh_{b * r + j}") for j in range(r)]))
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
 
 
 def minhash_lsh_clusters(
@@ -409,19 +406,19 @@ def simhash_dup_pairs(
     bands = max_hamming + 1
     width = SIMHASH_BITS // bands
     sh = simhash(documents).cache()
-    banded = None
-    for b in range(bands):
-        piece = sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            # arithmetic shift in BOTH engines (verified); the mask
-            # makes the 16-bit band key identical either way
-            F.shiftright(F.col("simhash"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bucket"),
-        )
-        banded = piece if banded is None else banded.unionByName(piece)
+    # arithmetic shift in BOTH engines (verified); the mask makes the
+    # 16-bit band key identical either way. One projection + posexplode
+    # (pos == band) replaces the bands-way union over the cached
+    # signature — identical rows, one scan instead of `bands` (§2.4)
+    band_keys = [
+        F.shiftright(F.col("simhash"), b * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
+    )
     wb = Window.partitionBy("band", "bucket").orderBy("doc_id")
     capped = (
         banded.withColumn("_rn", F.row_number().over(wb))

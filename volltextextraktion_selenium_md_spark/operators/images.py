@@ -96,21 +96,23 @@ def phash_near_dup(
     base, rem = divmod(PHASH_BITS, bands)
     widths = [base + 1] * rem + [base] * (bands - rem)
     fe = features.select("image_id", "phash").cache()
-    banded = None
+    # arithmetic shift + mask == unsigned band key for every band incl.
+    # the sign-bit-bearing top one (simhash parity). One projection +
+    # posexplode (pos == band) replaces the bands-way union over the
+    # cached features — identical rows, one scan instead of `bands`
+    # (guide §2.4)
+    band_keys = []
     offset = 0
-    for b, width in enumerate(widths):
-        piece = fe.select(
-            "image_id",
-            "phash",
-            F.lit(b).alias("band"),
-            # arithmetic shift + mask == unsigned band key for every
-            # band incl. the sign-bit-bearing top one (simhash parity)
+    for width in widths:
+        band_keys.append(
             F.shiftright(F.col("phash"), offset)
             .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bucket"),
         )
-        banded = piece if banded is None else banded.unionByName(piece)
         offset += width
+    banded = fe.select(
+        "image_id", "phash",
+        F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
+    )
     wb = Window.partitionBy("band", "bucket").orderBy("image_id")
     capped = (
         banded.withColumn("_rn", F.row_number().over(wb))

@@ -392,16 +392,28 @@ def filter_unseen_parts(
     # broadcast here: a LogicalRDD carries no size stats, so without
     # the hint the planner assumes worst case and plans a two-sided
     # sort-merge — several extra AQE stages of pure driver latency at
-    # small-round volume.
-    base = seen_parts[0].select("url")
+    # small-round volume. In THAT broadcast regime base and deltas are
+    # all sub-threshold plain checkpoints, so they collapse into ONE
+    # union behind ONE broadcast build + ONE anti-join (r7: each extra
+    # broadcast build is a separate AQE job — pure per-round driver
+    # latency at small-round volume); the partitioned-base regime keeps
+    # the two-join shape so the exchange-free base side is preserved.
     if broadcast_base:
-        base = F.broadcast(base)
-    maybe_seen = maybe_seen.join(base, on="url", how="left_anti")
-    if len(seen_parts) > 1:
-        deltas = seen_parts[1].select("url")
-        for part in seen_parts[2:]:
-            deltas = deltas.unionByName(part.select("url"))
-        maybe_seen = maybe_seen.join(deltas, on="url", how="left_anti")
+        allseen = seen_parts[0].select("url")
+        for part in seen_parts[1:]:
+            allseen = allseen.unionByName(part.select("url"))
+        maybe_seen = maybe_seen.join(
+            F.broadcast(allseen), on="url", how="left_anti"
+        )
+    else:
+        maybe_seen = maybe_seen.join(
+            seen_parts[0].select("url"), on="url", how="left_anti"
+        )
+        if len(seen_parts) > 1:
+            deltas = seen_parts[1].select("url")
+            for part in seen_parts[2:]:
+                deltas = deltas.unionByName(part.select("url"))
+            maybe_seen = maybe_seen.join(deltas, on="url", how="left_anti")
     if definitely_new is None:
         return maybe_seen
     return definitely_new.unionByName(maybe_seen)

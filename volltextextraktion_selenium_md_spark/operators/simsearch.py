@@ -105,23 +105,27 @@ def lsh_banded(
     `num_planes` sign bits each — a near neighbour missed by one table
     is caught by another (single-table recall on weakly-clustered data
     is poor; tests measure recall vs brute force). Table t uses the
-    deterministic hyperplanes [t*num_planes, (t+1)*num_planes)."""
-    rows = []
+    deterministic hyperplanes [t*num_planes, (t+1)*num_planes).
+
+    All `num_tables` signatures are computed in ONE projection and
+    posexploded (pos == tbl), instead of a num_tables-way union that
+    re-scanned the input once per table (guide §2.4 remove redundant
+    passes: the union form planned 8 scan branches — 8 codegen stages,
+    8 passes over the embedding column — for identical output rows;
+    measured 10 Exchanges -> 3 on cosine_topk_lsh). Each sign keeps its
+    own left-fold, so per-plane double accumulation order (and thus
+    every bucket bit) is bit-identical to the union form."""
+    sigs = []
     for t in range(num_tables):
         sig = F.lit(0)
         for p in range(num_planes):
             sig = sig * 2 + _hyperplane_sign(
                 F.col("embedding"), t * num_planes + p, dim
             )
-        rows.append(
-            embeddings.select(
-                "*", F.lit(t).alias("tbl"), sig.alias("bucket")
-            )
-        )
-    out = rows[0]
-    for df in rows[1:]:
-        out = out.unionByName(df)
-    return out
+        sigs.append(sig)
+    return embeddings.select(
+        "*", F.posexplode(F.array(*sigs)).alias("tbl", "bucket")
+    )
 
 
 def cosine_topk_lsh(

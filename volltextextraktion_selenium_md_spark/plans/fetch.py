@@ -313,6 +313,13 @@ def simulated_fetch(
     # table is bucketed on url and far past any broadcast threshold,
     # so the planner lands on the co-partitioned sort-merge join on
     # its own; the declarative form is right at BOTH scales.
+    # (r7 re-audit: a build-LEFT shuffled-hash hint on the frontier
+    # side beat the per-round 35 MiB pages BroadcastExchange 3x in an
+    # ISOLATED microbench [302 -> 85-110 ms/round], but interleaved
+    # fresh-JVM A/B on the real loop measured it consistently SLOWER —
+    # flagship 27.1/27.8 s vs 25.6/25.1 s, replay 41.5/62.8 s vs
+    # 33.4/37.6 s — the SHJ forces the frontier side through an extra
+    # url exchange and re-shapes downstream AQE stages; rejected.)
     joined = admitted.join(page_cols, on=join_key, how="left")
     if mirror_span > 0:
         # re-mint the two mirror-dependent attributes (all others —

@@ -56,12 +56,30 @@ def _g(spark: SparkSession, sf_dir: str) -> None:
     graph.register_graph_views(spark, sf_dir)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor ahead of a Python-kernel stage (guide
+    §2.5 input skew / §6 input split size): the sandbox parquet inputs
+    are single-row-group files, so every derived relation arrives as
+    ONE scan partition and a mapInPandas kernel placed directly on it
+    runs the whole corpus on one core (measured: preflight_features
+    82,500 rows / 5.6 s, llm_postprocess 150k rows / 4.0 s — both
+    single-task). Round-robin repartition to the session width only
+    when the input is narrower; on a real deployment the inputs arrive
+    already-partitioned (row groups / bucketed tables) and this is a
+    no-op. Row-level results are partitioning-independent (stateless
+    kernels), so outputs are set-identical either way."""
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # --- frontier / crawl-engine steps ------------------------------------------
@@ -283,7 +301,9 @@ def _strategy_col():
 
 def q_strategy_classifier(spark, sf_dir):
     _g(spark, sf_dir)
-    return graph.pages(spark).select("page_id", _strategy_col().alias("strategy"))
+    return _spread(graph.pages(spark)).select(
+        "page_id", _strategy_col().alias("strategy")
+    )
 
 
 def q_preflight_features(spark, sf_dir):
@@ -308,6 +328,7 @@ def q_preflight_features(spark, sf_dir):
         "page_id", "content_type", "text_len", "has_main", "spa_mark",
         "js_required", "consent", "bot_wall", "rss_link",
     )
+    rows = _spread(rows)
     names = [f.name for f in FEATURES_FIELDS]
 
     def mint_and_extract(batches):
@@ -342,7 +363,7 @@ def q_fetch_route(spark, sf_dir):
     pay the JS refetch after the preflight probe."""
     _g(spark, sf_dir)
     cfg = CrawlConfig()
-    cases = spark.sql(MODE_CASES_BODY)
+    cases = _spread(spark.sql(MODE_CASES_BODY))
     strategy = F.when(F.col("mode") == "auto", _strategy_col())
     routed = cases.join(graph.pages(spark), on="page_id").select(
         "page_id",
@@ -597,7 +618,7 @@ def q_converter_route(spark, sf_dir):
         "url", "page_id", "content_type", "text_len", "has_main",
         "spa_mark", "js_required", "consent", "bot_wall", "rss_link",
     ]
-    rows = graph.pages(spark).select(*feat).withColumn(
+    rows = _spread(graph.pages(spark).select(*feat)).withColumn(
         "media_policy", F.expr(MEDIA_POLICY_CASE)
     ).withColumn("html_converter", F.expr(HTML_CONVERTER_CASE))
     out = convert_stage(rows, CrawlConfig()).select(
@@ -611,7 +632,7 @@ def q_converter_route(spark, sf_dir):
     fr = init_frontier(spark).select(
         "url", "html_converter", "media_policy", "max_bytes",
     )
-    rows_fr = graph.pages(spark).select(*feat).join(fr, "url")
+    rows_fr = _spread(graph.pages(spark).select(*feat)).join(fr, "url")
     out_fr = convert_stage(rows_fr, CrawlConfig()).select(
         "page_id", "converter_used"
     ).withColumn("src", F.lit("frontier"))
@@ -648,7 +669,7 @@ def q_llm_postprocess(spark, sf_dir):
             F.col("llm.tokens_used").alias("tokens_used"),
         ).withColumn("src", F.lit(src))
 
-    cases = spark.sql(LLM_CASES_BODY).withColumn(
+    cases = _spread(spark.sql(LLM_CASES_BODY)).withColumn(
         "error_page", F.col("status") >= 400
     )
     staged = llm_postprocess_stage(
@@ -894,7 +915,7 @@ def _image_corpus(spark, sf_dir, variants_every: int = IMG_VARIANT_EVERY):
 
     from volltextextraktion_selenium_md_spark import codec
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
 
     def mint(batches):
         for pdf in batches:
