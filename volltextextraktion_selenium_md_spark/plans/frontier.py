@@ -424,6 +424,13 @@ class CrawlEngine:
         self.shuffle_rows_per_task = shuffle_rows_per_task or int(
             os.environ.get("SPARK_GRAFT_ROWS_PER_TASK", "50000")
         )
+        # explicit-broadcast ceiling for the per-round parents side of
+        # the child-link join (see _children_links): rounds below this
+        # many frontier rows hint the broadcast outright instead of
+        # letting AQE discover it through a materialized shuffle stage
+        self.broadcast_parents_max = int(
+            os.environ.get("SPARK_GRAFT_BCAST_PARENTS_MAX", "100000")
+        )
         self._session_width = int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
@@ -477,11 +484,25 @@ class CrawlEngine:
     # these, halving the cache bytes vs the full g_links row
     LINK_COLS = ["src_page_id", "doc_pos", "dst_host", "raw_url"]
 
-    def _children_links(self, parents: DataFrame) -> DataFrame:
+    def _children_links(
+        self, parents: DataFrame, broadcast_parents: bool = False
+    ) -> DataFrame:
         """parents (src_page_id in mirrored id space) x links -> child
-        link rows in mirrored URL space."""
+        link rows in mirrored URL space.
+
+        ``broadcast_parents``: explicit broadcast hint on the
+        (round-sized) parents side. The fetched checkpoint carries no
+        stats, so the initial plan is a two-sided sort-merge and AQE
+        only rewrites to broadcast AFTER materializing the parents
+        shuffle stage — two extra per-round stage jobs of pure driver
+        latency at small-round volume (the loop is latency-bound:
+        ~15 jobs/round measured in the r7 event-log audit). The engine
+        sets the flag per round from the live n_frontier, so at
+        10^10-scale round volumes the declarative join (and AQE's own
+        choice) is untouched."""
         if self.mirrors == 1:
-            return parents.join(self.links, on="src_page_id")
+            p = F.broadcast(parents) if broadcast_parents else parents
+            return p.join(self.links, on="src_page_id")
         mir = (F.col("src_page_id") / self.span).cast("long").alias("_mir")
         orig = (F.col("src_page_id") % self.span).alias("src_page_id")
         j = parents.select(
@@ -1101,7 +1122,12 @@ class CrawlEngine:
                     *[F.col(c).alias(f"p_{c}") for c in REQUEST_COLS],
                 )
                 children = (
-                    self._children_links(parents)
+                    self._children_links(
+                        parents,
+                        broadcast_parents=(
+                            n_frontier < self.broadcast_parents_max
+                        ),
+                    )
                     .select(
                         # mirrors>1: raw_url is ALREADY canonical (the
                         # base table's canon_url + mirror token)
