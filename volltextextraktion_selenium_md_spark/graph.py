@@ -233,11 +233,27 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
 
+# one-slot registration memo: every query entry point calls
+# register_graph_views, and each call re-reads 10 parquet footers and
+# re-parses/analyzes 5 view bodies — ~0.3-0.9 s of pure driver work
+# PER QUERY (r7 phase breakdown: 0.86 s of crawl_bfs_d1's warm wall was
+# this). Temp views persist in the session and the definitions are
+# constants, so re-registration for the same (context, sf_dir) is a
+# semantic no-op — skip it. A different sf_dir (or a fresh context)
+# re-registers and retakes the slot, so alternating directories stays
+# correct; only view METADATA is memoized, never data or results.
+_REGISTERED_KEY: list = [None]
+
+
 def register_graph_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the synthetic graph as temp views on top of the testdata."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _REGISTERED_KEY[0] == key:
+        return
     register_testdata(spark, sf_dir)
     for name, body in GRAPH_VIEWS.items():
         spark.sql(body).createOrReplaceTempView(name)
+    _REGISTERED_KEY[0] = key
 
 
 # ---------------------------------------------------------------------------

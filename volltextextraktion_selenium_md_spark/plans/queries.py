@@ -75,7 +75,7 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,7 +218,11 @@ def _depth1_candidates(spark) -> DataFrame:
         "url", "page_id", "status", "content_type"
     )
     parents = (
-        f0.join(pages, on="url")
+        # broadcast the (seed-sized) frontier side: the pages relation
+        # carries ~35 MiB stats at sf0.1 and the static planner
+        # otherwise broadcasts IT (guide §3.1 — broadcast the side
+        # that is actually small)
+        F.broadcast(f0).join(pages, on="url")
         .filter((F.col("status") < 400) & F.col("content_type").startswith("text/html"))
         .select(
             F.col("page_id").alias("src_page_id"),
@@ -263,10 +267,17 @@ def q_crawl_bfs_d1(spark, sf_dir):
     _g(spark, sf_dir)
     f0 = init_frontier(spark).select("url", "depth", "lineage")
     d1 = _depth1_candidates(spark)
-    d1_new = d1.join(f0.select("url"), on="url", how="left_anti").select(
+    d1_new = d1.join(
+        F.broadcast(f0.select("url")), on="url", how="left_anti"
+    ).select(
         "url", "depth", "lineage"
     )
-    both = f0.unionByName(d1_new)
+    # materialize the union once before ordinal assignment:
+    # repartitionByRange's range-partitioner SAMPLES its input, so the
+    # expensive upstream (g_links doc_pos window + joins) would run
+    # twice — once for sampling, once for the shuffle (guide §1.1 /
+    # §5 caching: reuse beats recompute when the subtree is expensive)
+    both = f0.unionByName(d1_new).localCheckpoint()
     # distributed total-order ordinal (same primitive the engine uses) —
     # no single-partition global window in the driver contract
     from volltextextraktion_selenium_md_spark.plans.frontier import global_ordinal
@@ -301,9 +312,7 @@ def _strategy_col():
 
 def q_strategy_classifier(spark, sf_dir):
     _g(spark, sf_dir)
-    return _spread(graph.pages(spark)).select(
-        "page_id", _strategy_col().alias("strategy")
-    )
+    return graph.pages(spark).select("page_id", _strategy_col().alias("strategy"))
 
 
 def q_preflight_features(spark, sf_dir):
@@ -363,7 +372,7 @@ def q_fetch_route(spark, sf_dir):
     pay the JS refetch after the preflight probe."""
     _g(spark, sf_dir)
     cfg = CrawlConfig()
-    cases = _spread(spark.sql(MODE_CASES_BODY))
+    cases = spark.sql(MODE_CASES_BODY)
     strategy = F.when(F.col("mode") == "auto", _strategy_col())
     routed = cases.join(graph.pages(spark), on="page_id").select(
         "page_id",
@@ -741,7 +750,7 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_lang_quality(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -751,16 +760,20 @@ def q_lang_quality(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+    return dedup.ngram_jaccard_pairs(
+        _spread(_docs(spark, sf_dir)), n=3, threshold=JACCARD_T
+    )
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return dedup.minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=MINHASH_H)
+    return dedup.minhash_signatures(
+        _spread(_docs(spark, sf_dir)), n=3, num_hashes=MINHASH_H
+    )
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), n=3, num_hashes=MINHASH_H,
+        _spread(_docs(spark, sf_dir)), n=3, num_hashes=MINHASH_H,
         bands=MINHASH_BANDS, threshold=LSH_EST_T, max_bucket=LSH_MAX_BUCKET,
     )
 
@@ -770,17 +783,18 @@ def q_minhash_lsh_clusters(spark, sf_dir):
     bucket + min-label propagation -> (doc_id, cluster_id,
     cluster_size), never a quadratic pair join."""
     return dedup.minhash_lsh_clusters(
-        _docs(spark, sf_dir), n=3, num_hashes=MINHASH_H, bands=MINHASH_BANDS,
+        _spread(_docs(spark, sf_dir)), n=3, num_hashes=MINHASH_H,
+        bands=MINHASH_BANDS,
     )
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash(_docs(spark, sf_dir))
+    return dedup.simhash(_spread(_docs(spark, sf_dir)))
 
 
 def q_simhash_dup_pairs(spark, sf_dir):
     return dedup.simhash_dup_pairs(
-        _docs(spark, sf_dir),
+        _spread(_docs(spark, sf_dir)),
         max_hamming=SIMHASH_MAX_HAMMING,
         max_bucket=SIMHASH_MAX_BUCKET,
     )
