@@ -46,6 +46,28 @@ FAIR_SCHEDULER_CONF = {
 }
 
 
+# JIT compiler-thread floor (guide §1.1 empirical loop / §7.3 driver
+# stalls). Measured on the r7 bench host (32 cores, JDK 17): the driver
+# JVM came up with ONE C1 + ONE C2 compiler thread (dynamic sizing
+# never grew the pool) while bare `java` ergonomics on the same box
+# pick 15 — so for the first ~90 s of JVM life the C2 queue backlog ran
+# the whole process (Catalyst analysis, SizeEstimator, generated code)
+# interpreted: jstacks showed C2 CompilerThread0 as the top CPU burner
+# (17-25 s) and 10-20x inflated driver phases; the event log showed
+# 36.7 s of job-free driver gaps in one flagship. Forcing a static
+# compiler pool cut the bench flagship 37.1 -> 22.0 s and the replay
+# crawl 43.7 -> 26.8 s with no steady-state cost (flags only shorten
+# the compile backlog; hot code is identical). Long-lived cluster
+# drivers/executors want the same floor — cold-start latency is where
+# iterative (round-loop) jobs burn it. SPARK_GRAFT_JIT_OPTS overrides
+# (empty string disables).
+JIT_OPTS = os.environ.get(
+    "SPARK_GRAFT_JIT_OPTS",
+    "-XX:-UseDynamicNumberOfCompilerThreads -XX:CICompilerCount=12 "
+    "-XX:ReservedCodeCacheSize=1g",
+)
+
+
 def _default_driver_memory() -> str:
     """Portable default: ~40% of physical RAM, clamped to [4g, 48g].
     The 128 GiB sandbox lands on 48g (the tuned bench value); small
@@ -103,7 +125,20 @@ def get_spark(
         # slowdown at 32 threads); 2k keeps allocations region-sized
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "2000")
     )
-    for k, v in (extra_conf or {}).items():
+    # driver + executor JIT options (see JIT_OPTS). In local mode the
+    # executor shares the driver JVM (the driver flag is the one that
+    # matters and IS honored: pyspark's gateway passes builder conf to
+    # spark-submit before the JVM starts); on a cluster each executor
+    # JVM gets the same compile-thread floor. Caller-supplied
+    # extraJavaOptions are APPENDED so a probe's -Xlog/-XX flags
+    # compose with (rather than silently drop) the measured defaults.
+    merged = dict(extra_conf or {})
+    if JIT_OPTS:
+        for key in ("spark.driver.extraJavaOptions",
+                    "spark.executor.extraJavaOptions"):
+            user = merged.get(key, "")
+            merged[key] = f"{JIT_OPTS} {user}".strip()
+    for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
