@@ -203,3 +203,41 @@ def test_linear_on_closeless_tags():
     t0 = time.time()
     assert C._rss_titles("<title>x" * 12_000) == []
     assert time.time() - t0 < 0.5
+
+
+def test_linear_on_close_before_closeless_opens():
+    """One close tag AHEAD of '>'-less open soup passes the
+    empty-closes guard, so every failed open attempt used to rescan
+    toward end-of-string (unbounded [^>]* in the OPEN patterns:
+    measured 19 s / 200 KB, 79 s / 400 KB). The last-close scan bound
+    plus the {0,4096} attr caps make it linear; the yielded spans are
+    unchanged (none — no close at/after any open)."""
+    for close, soup, open_re, close_re in [
+        ("</script>", "<script x ", C._SCRIPT_OPEN_RE, C._SCRIPT_CLOSE_RE),
+        ("</script>", "<script x ", C._KMAP_OPEN_RE, C._SCRIPT_CLOSE_RE),
+        ("</title>", "<title x ", C._TITLE_OPEN_RE, C._TITLE_CLOSE_RE),
+        ("</noscript>", "<noscript x ", C._NOSCRIPT_OPEN_RE, C._NOSCRIPT_CLOSE_RE),
+    ]:
+        html = close + soup * 20_000  # ~200 KB
+        t0 = time.time()
+        assert list(C._tag_spans(html, open_re, close_re)) == []
+        assert time.time() - t0 < 0.5, (close, soup)
+
+
+def test_base_href_linear_on_gtless_soup():
+    """_BASE_HREF_RE.search over '<base x '-soup with no '>' was the
+    same unbounded-[^>]* class; the attr cap bounds each attempt."""
+    html = "<base x " * 20_000  # 160 KB, no href, no '>'
+    t0 = time.time()
+    assert C._BASE_HREF_RE.search(html) is None
+    assert time.time() - t0 < 2.0
+
+
+def test_js_hint_requires_char_between_lt_and_attr():
+    """Legacy _JS_HINT_RE required >=1 char between '<' and id|class=
+    ('<[^>]+(?:id|class)='); a hint attribute starting immediately
+    after '<' must NOT strip."""
+    assert C._strip_js_hints("<id=no-js>x</p>") == "<id=no-js>x</p>"
+    assert C._strip_js_hints("<class=no-js>x</p>") == "<class=no-js>x</p>"
+    # ...while a real hint container one char later still strips
+    assert C._strip_js_hints("<p id=no-js>x</p>") == ""

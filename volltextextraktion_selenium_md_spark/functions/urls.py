@@ -113,15 +113,19 @@ _OPEN_INTEREST_RE = None
 _OPEN_ATTRS_CAP = 4096
 
 
-def _open_end(html: str, j: int) -> int:
-    """Index of the '>' ending an anchor open tag whose attr region
+def _open_end(html: str, j: int) -> tuple[int, int]:
+    """Scan for the '>' ending an anchor open tag whose attr region
     starts at ``j``, honoring quoted strings (a '>' inside "..." or
     '...' does not end the tag) — the match set of the old
     ``((?:[^>"']|"[^"]*"|'[^']*')*)>`` group for attr regions up to
     ``_OPEN_ATTRS_CAP`` chars, via C-speed jumps to the next
-    interesting char inside that bounded window. Returns -1 when the
-    tag never closes in-window (ending the match attempt, as the
-    legacy regex's failure did)."""
+    interesting char inside that bounded window.
+
+    Returns ``(index, ops)``: the index of the closing '>' (or -1 when
+    the tag never closes in-window, ending the match attempt as the
+    legacy regex's failure did) plus the scan-work charge the caller
+    debits from its per-page budget (jump count on success; on failure
+    the scanned window distance in 64-char units)."""
     global _OPEN_INTEREST_RE
     import re
 

@@ -244,14 +244,27 @@ _HINT_ATTR_RE = re.compile(
     r"(?:id|class)=['\"]?[^'\">]*(?:no-?js|js-disabled|enable-js|javascript)",
     re.I,
 )
+# attr regions bounded to 4096 chars (urls.py's _OPEN_ATTRS_CAP
+# precedent): an unbounded [^>]* in an OPEN pattern re-scans to
+# end-of-string from every failed open attempt once the input runs out
+# of '>' — measured 19 s on 200 KB / 79 s on 400 KB (4x per 2x) of
+# "</script>" + "<script x "-soup inside _tag_spans. No real tag
+# carries 4 KB of attributes; one that does simply stops matching, the
+# same outcome the legacy regex's failure had. (_tag_spans additionally
+# bounds its open scan at the last close — see its docstring.)
+_OPEN_ATTRS_CAP = 4096
 _KMAP_OPEN_RE = re.compile(
-    r"<script[^>]*id=['\"]embedded-topic['\"][^>]*>", re.I
+    r"<script[^>]{0,%d}id=['\"]embedded-topic['\"][^>]{0,%d}>"
+    % (_OPEN_ATTRS_CAP, _OPEN_ATTRS_CAP),
+    re.I,
 )
-_SCRIPT_OPEN_RE = re.compile(r"<script([^>]*)>", re.I)
+_SCRIPT_OPEN_RE = re.compile(r"<script([^>]{0,%d})>" % _OPEN_ATTRS_CAP, re.I)
 _SCRIPT_CLOSE_RE = re.compile(r"</script>", re.I)
 _SCRIPT_TYPE_RE = re.compile(r"type=['\"]([^'\"]*)['\"]", re.I)
-_BASE_HREF_RE = re.compile(r"<base\b[^>]*href=['\"]([^'\"]*)['\"]", re.I)
-_TITLE_OPEN_RE = re.compile(r"<title[^>]*>", re.I)
+_BASE_HREF_RE = re.compile(
+    r"<base\b[^>]{0,%d}href=['\"]([^'\"]*)['\"]" % _OPEN_ATTRS_CAP, re.I
+)
+_TITLE_OPEN_RE = re.compile(r"<title[^>]{0,%d}>" % _OPEN_ATTRS_CAP, re.I)
 _TITLE_CLOSE_RE = re.compile(r"</title>", re.I)
 _INLINE_ATTR_RE = re.compile(r"(src|href)=[\"']inline:([^\"']+)[\"']")
 _INLINE_BARE_RE = re.compile(r"inline:([^\s\"'>)]+)")
@@ -277,7 +290,17 @@ def _tag_spans(html: str, open_re, close_re):
     from bisect import bisect_left
 
     cursor = 0
-    for m in open_re.finditer(html):
+    # an open can only yield if a close starts at/after its end, so no
+    # useful open match extends past the LAST close's start — bound the
+    # scan there (finditer endpos). Without this, a single close ahead
+    # of '>'-less open soup ("</script>" + "<script x " * 20k) passed
+    # the empty-closes guard above and every failed open attempt
+    # re-scanned toward end-of-string: 19 s / 200 KB, 4x per 2x. Safe
+    # for every open pattern used here: matches are pure spans (the one
+    # trailing-context case, _NOSCRIPT_OPEN_RE's \b, sits against the
+    # close's leading '<' — a non-word char — exactly when the bound
+    # truncates there, so the \b verdict is unchanged).
+    for m in open_re.finditer(html, 0, closes[-1][0]):
         if m.start() < cursor:
             continue
         i = bisect_left(closes, (m.end(), -1))
@@ -332,7 +355,11 @@ def _strip_js_hints(html: str) -> str:
         g = html.find(">", i + 1)
         if g == -1:
             break
-        if g > i + 1 and _HINT_ATTR_RE.search(html, i + 1, g):
+        # hint search starts at i+2, not i+1: the legacy pattern was
+        # "<[^>]+(?:id|class)=..." — at least ONE char between '<' and
+        # the hint attribute, so "<id=no-js>x</p>" must NOT strip
+        # (golden-pinned in test_convert_linear_scan.py)
+        if g > i + 1 and _HINT_ATTR_RE.search(html, i + 2, g):
             # bounded close-tag probe: '</' must START within 200 chars
             # of the body; its name and '>' may extend past the window
             j = html.find("</", g + 1)

@@ -21,6 +21,16 @@ plain parquet with Iceberg's commit discipline:
 On a real cluster, swap `SnapshotStore` for `df.writeTo(tbl)` /
 `MERGE INTO` SQL against an Iceberg catalog; the engine call sites are
 shaped for that (commit-per-round, key-equality merge).
+
+Checkpoint key-format note: the seen/frontier tables key on the
+CANONICAL url, and the canonical form is versioned by the code that
+wrote it. Commit 7633a5d (round 6) tightened `canonicalize_one` into a
+fixed point (trailing path-whitespace strip, '//'-path collapse,
+output strip); a store written BEFORE that commit can hold old-form
+keys no raw URL re-canonicalizes to, so a resumed crawl may re-crawl
+those URLs once (correct going forward, no duplicates within a run).
+Re-canonicalize the seen table offline when resuming a pre-round-6
+store if that matters.
 """
 
 from __future__ import annotations
