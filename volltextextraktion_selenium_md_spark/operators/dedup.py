@@ -144,6 +144,18 @@ def ngram_jaccard_pairs(
 # would promote to HUGEINT and diverge)
 MINHASH_PRIME = 2147483647
 
+# memoized constant Column trees (minhash min-aggs per num_hashes,
+# banding buckets per (num_hashes, bands), the simhash agg/fingerprint
+# set): each is an input-independent expression over fixed column names
+# whose CONSTRUCTION costs hundreds of py4j round trips — measured
+# ~1.0 s of driver time per simhash query build, ~0.3 s per minhash
+# (guide §7.3 driver-side planning). Pure expression metadata — reusing
+# a Column across DataFrames is the same pattern as `t = F.col("text")`;
+# no data or results are cached.
+_MINHASH_AGGS_MEMO: dict[int, list[Column]] = {}
+_BANDED_MEMO: dict[tuple[int, int], Column] = {}
+_SIMHASH_MEMO: dict[int, tuple[list[Column], Column]] = {}
+
 
 def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic permutation coefficients (a odd, b) derived from a
@@ -167,10 +179,13 @@ def minhash_signatures(
     One groupBy computes all H minima (map-side partial agg -> tiny
     shuffle: H longs per doc)."""
     sh = shingles(documents, n, hashed=True)
-    aggs = [
-        F.min((F.col("h") % MINHASH_PRIME * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_params(num_hashes))
-    ]
+    aggs = _MINHASH_AGGS_MEMO.get(num_hashes)
+    if aggs is None:
+        aggs = [
+            F.min((F.col("h") % MINHASH_PRIME * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_params(num_hashes))
+        ]
+        _MINHASH_AGGS_MEMO[num_hashes] = aggs
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -231,14 +246,16 @@ def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     a bands-way union that re-scanned the signature relation once per
     band (guide §2.4: identical output rows, one pass, one codegen
     stage instead of `bands`)."""
-    r = num_hashes // bands
-    buckets = [
-        F.md5(F.concat_ws(",", *[F.col(f"mh_{b * r + j}") for j in range(r)]))
-        for b in range(bands)
-    ]
-    return sig.select(
-        "doc_id", F.posexplode(F.array(*buckets)).alias("band", "bucket")
-    )
+    pe = _BANDED_MEMO.get((num_hashes, bands))
+    if pe is None:
+        r = num_hashes // bands
+        buckets = [
+            F.md5(F.concat_ws(",", *[F.col(f"mh_{b * r + j}") for j in range(r)]))
+            for b in range(bands)
+        ]
+        pe = F.posexplode(F.array(*buckets))
+        _BANDED_MEMO[(num_hashes, bands)] = pe
+    return sig.select("doc_id", pe.alias("band", "bucket"))
 
 
 def minhash_lsh_clusters(
@@ -368,24 +385,29 @@ def simhash(documents: DataFrame) -> DataFrame:
         "h2", _md5_hash60_hi(F.col("tok"))
     )
 
-    def bit(b: int) -> Column:
-        if b < _H2_OFFSET:
-            return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-        return F.shiftright(F.col("h2"), b - _H2_OFFSET).bitwiseAND(F.lit(1))
+    memo = _SIMHASH_MEMO.get(SIMHASH_BITS)
+    if memo is None:
+        def bit(b: int) -> Column:
+            if b < _H2_OFFSET:
+                return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+            return F.shiftright(F.col("h2"), b - _H2_OFFSET).bitwiseAND(F.lit(1))
 
-    aggs = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"s_{b}")
-        for b in range(SIMHASH_BITS)
-    ]
+        aggs = [
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"s_{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+        fp = sum(
+            F.when(
+                F.col(f"s_{b}") > 0,
+                F.lit(1 << b if b < 63 else -(1 << 63)),
+            ).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ).cast("long").alias("simhash")
+        memo = (aggs, fp)
+        _SIMHASH_MEMO[SIMHASH_BITS] = memo
+    aggs, fp = memo
     sums = toks.groupBy("doc_id").agg(*aggs)
-    fp = sum(
-        F.when(
-            F.col(f"s_{b}") > 0,
-            F.lit(1 << b if b < 63 else -(1 << 63)),
-        ).otherwise(F.lit(0))
-        for b in range(SIMHASH_BITS)
-    )
-    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+    return sums.select("doc_id", fp)
 
 
 def simhash_dup_pairs(

